@@ -1,0 +1,33 @@
+"""raydf — a Ray-Data-native knowledge-graph construction & RDF deduction engine.
+
+Re-implements, from scratch and Ray-Data-first, the query/deduction
+capabilities of the reference engine ``spruceid/inferdf-rs``
+(/root/reference, a single-threaded in-memory Rust library): signed triple
+datasets, conjunctive rule hypotheses (non-linear triple patterns),
+forward-chaining deduction to fixpoint, expression evaluation
+(boolean/decimal/string/regex literals), validation, and Eq-merge entity
+canonicalization — plus the source-code → triple extraction front-end and
+the large-scale training-data operators (dedup, similarity search, text
+analysis) the reference lacks.
+
+Everything is expressed over ``ray.data.Dataset`` pipelines: zero-copy
+Arrow ``map_batches`` for per-record work, hash joins / groupby shuffles
+for the wide steps, actor pools for stateful stages, Parquet checkpoints
+for resumability.
+"""
+
+from raydf import schema, terms
+from raydf.rules import Rule, System, load_system, parse_rule
+from raydf.deduce import FixpointEngine
+from raydf.pipeline import kg_pipeline
+
+__all__ = [
+    "schema",
+    "terms",
+    "Rule",
+    "System",
+    "load_system",
+    "parse_rule",
+    "FixpointEngine",
+    "kg_pipeline",
+]

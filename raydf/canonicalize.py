@@ -1,0 +1,174 @@
+"""Eq-merge entity canonicalization (SURVEY.md O16).
+
+``TripleStatement::Eq(a, b)`` conclusions assert two resources denote the
+same entity (reference src/statement.rs:15-16; the engine-side merge is
+vestigial in the reference — src/sign.rs:175-180 ``ReplaceId``). Here the
+merge is first-class: collected Eq pairs → equivalence classes →
+representative = min(term_id) per class → a remap of subj/pred/obj over
+the whole triple store, followed by dedup (two triples may collapse into
+one) — realized as a broadcast-mapping ``map_batches`` pass, NOT a
+shuffle: the mapping only contains *merged* ids (≪ dataset), so hot
+representatives cost nothing here; the only shuffle is the downstream
+dedup groupby, whose key is the full (s,p,o,sign) hash — already salted
+by construction.
+
+Connected components: union-find on the driver while the pair set is
+small (the common case — Eq pairs come from entity-link rules, orders of
+magnitude fewer than triples); past ``DRIVER_PAIR_LIMIT`` a distributed
+min-label-propagation loop (groupby-Min per round, O(diameter) rounds)
+computes the same classes without driver memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+DRIVER_PAIR_LIMIT = 5_000_000
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        while p != x:
+            self.parent[x] = p = self.parent.setdefault(p, p)
+            x, p = p, self.parent[p]
+        return x
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # min-id representative → deterministic canonical choice
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+
+    def mapping(self) -> pd.DataFrame:
+        rows = [(x, self.find(x)) for x in list(self.parent)]
+        df = pd.DataFrame(rows, columns=["node", "canon"])
+        return df[df["node"] != df["canon"]].reset_index(drop=True)
+
+
+def canonical_mapping_driver(pairs: pd.DataFrame) -> pd.DataFrame:
+    uf = UnionFind()
+    for a, b in zip(pairs["a"].to_numpy(), pairs["b"].to_numpy()):
+        uf.union(int(a), int(b))
+    return uf.mapping()
+
+
+def canonical_mapping_distributed(edges_ds, *, max_iters: int = 30) -> pd.DataFrame:
+    """Min-label propagation over Eq edges as Ray Data groupby rounds.
+
+    labels(v) ← min(labels(v), min_{(v,u)∈E} labels(u)); iterate to a
+    fixpoint. Scales to edge sets that don't fit the driver; rounds are
+    bounded by component diameter (star-shaped entity-link outputs → 2-3).
+    """
+    from ray.data.aggregate import Min
+
+    from raydf.joins import hash_join
+
+    sym = edges_ds.map_batches(
+        lambda df: pd.concat(
+            [
+                df.rename(columns={"a": "node", "b": "nbr"})[["node", "nbr"]],
+                df.rename(columns={"b": "node", "a": "nbr"})[["node", "nbr"]],
+            ]
+        ),
+        batch_format="pandas",
+    ).materialize()
+    labels = (
+        sym.groupby("node")
+        .aggregate(Min("nbr", alias_name="lbl"))
+        .map_batches(
+            lambda df: df.assign(lbl=np.minimum(df["node"], df["lbl"])),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    prev_sum = labels.sum("lbl")
+    for _ in range(max_iters):
+        # propagate each node's label to its neighbours, keep the min
+        prop = hash_join(
+            sym,
+            labels.map_batches(
+                lambda df: df.rename(columns={"node": "nbr"}), batch_format="pandas"
+            ),
+            on=["nbr"],
+        ).select_columns(["node", "lbl"])
+        labels = (
+            labels.select_columns(["node", "lbl"])
+            .union(prop)
+            .groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .materialize()
+        )
+        # labels are monotone non-increasing → the sum is a convergence scalar
+        cur_sum = labels.sum("lbl")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    df = labels.to_pandas()
+    return df[df["node"] != df["lbl"]].rename(columns={"lbl": "canon"})[["node", "canon"]]
+
+
+def canonical_mapping(eq_ds_or_df) -> pd.DataFrame:
+    """Eq pairs → (node → canonical representative) mapping (non-identity rows)."""
+    if eq_ds_or_df is None:
+        return pd.DataFrame({"node": [], "canon": []}).astype(np.int64)
+    if isinstance(eq_ds_or_df, pd.DataFrame):
+        return canonical_mapping_driver(eq_ds_or_df)
+    n = eq_ds_or_df.count()
+    if n == 0:
+        return pd.DataFrame({"node": [], "canon": []}).astype(np.int64)
+    if n <= DRIVER_PAIR_LIMIT:
+        return canonical_mapping_driver(eq_ds_or_df.select_columns(["a", "b"]).to_pandas())
+    return canonical_mapping_distributed(eq_ds_or_df.select_columns(["a", "b"]))
+
+
+def make_remapper(mapping: pd.DataFrame, cols=("subj", "pred", "obj")):
+    """Vectorized broadcast remap of id columns via sorted-key searchsorted."""
+    import ray
+
+    keys = np.sort(mapping["node"].to_numpy(np.int64))
+    order = np.argsort(mapping["node"].to_numpy(np.int64))
+    vals = mapping["canon"].to_numpy(np.int64)[order]
+    ref = ray.put((keys, vals))
+    cols = list(cols)
+
+    def _remap(df: pd.DataFrame) -> pd.DataFrame:
+        k, v = ray.get(ref)
+        for c in cols:
+            arr = df[c].to_numpy(np.int64)
+            pos = np.searchsorted(k, arr)
+            pos_c = np.clip(pos, 0, len(k) - 1)
+            hit = (len(k) > 0) & (k[pos_c] == arr) if len(k) else np.zeros(len(arr), bool)
+            df[c] = np.where(hit, v[pos_c], arr)
+        return df
+
+    return _remap
+
+
+def remap_triples(triples_ds, mapping: pd.DataFrame):
+    if len(mapping) == 0:
+        return triples_ds
+    return triples_ds.map_batches(make_remapper(mapping), batch_format="pandas")
+
+
+def remap_terms(terms_ds, mapping: pd.DataFrame):
+    """Term dictionary → add canonical_id column so the interpretation keeps
+    every lexical form of a merged resource (ReverseTermInterpretation:
+    ``literals_of`` = dictionary rows sharing canonical_id)."""
+    if len(mapping) == 0:
+        return terms_ds.map_batches(
+            lambda df: df.assign(canonical_id=df["term_id"]), batch_format="pandas"
+        )
+    remap = make_remapper(mapping, cols=("canonical_id",))
+
+    def _add(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(canonical_id=df["term_id"])
+        return remap(df)
+
+    return terms_ds.map_batches(_add, batch_format="pandas")

@@ -1,0 +1,466 @@
+"""Forward-chaining deduction to fixpoint (SURVEY.md §3 E1/E3).
+
+The reference does ONE deduction round per call and the host loops,
+re-inserting deduced triples into an in-memory BTree graph
+(src/lib.rs:35-77, src/system/mod.rs:110-119). Here the loop is a driver
+coroutine over checkpointed Parquet rounds, with semi-naive Δ evaluation
+(the whole-partition generalization of ``System::try_deduce_from_triple``,
+src/system/mod.rs:124-149):
+
+round r:   bindings  = ⋃_rules semi_naive_match(rule, Δ_{r-1}, old, full)
+           candidates = instantiate(conclusions)        # skolemize + eval
+           new        = candidates ∖ accumulated        # bucketed anti-join
+           checkpoint new → ckpt/triples/round=r/bucket=j/…
+
+**Scale design**: the accumulated triple store never lives in driver or
+actor memory. It is Parquet, hash-partitioned by ``bucket = h % B`` where
+``h`` is a 64-bit (subj,pred,obj,sign) row hash. The per-round anti-join
+shuffles only the candidate Δ (groupby bucket) and each group probes just
+its own bucket's ``h`` column across rounds — O(Δ + touched buckets), not
+O(accumulated). On a multi-node cluster the checkpoint directory lives on
+shared storage (S3/NFS); every stage reads/writes it independently, which
+is also what makes a killed run resumable from the manifest.
+
+Existential conclusion variables are skolemized deterministically
+(hash of rule × var × substitution — raydf.terms.skolem_ids) instead of
+the reference's sequential blank generator (src/system/deduction.rs:224-229)
+so retried tasks and re-runs mint identical blanks and dedup converges.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from raydf import expr as expr_mod
+from raydf import terms
+from raydf.match import EmptySource, ParquetSource, rule_bindings
+from raydf.rules import Call, ConstTerm, Rule, System, Var
+from raydf.schema import TRIPLES_SCHEMA
+
+EQS_SCHEMA = pa.schema(
+    [
+        pa.field("a", pa.int64()),
+        pa.field("b", pa.int64()),
+        pa.field("rule_idx", pa.int32()),
+        pa.field("round", pa.int32()),
+    ]
+)
+
+TRUES_SCHEMA = pa.schema(
+    [
+        pa.field("resource", pa.int64()),
+        pa.field("value", pa.bool_(), nullable=True),
+        pa.field("error", pa.string(), nullable=True),
+        pa.field("sign", pa.bool_()),
+        pa.field("rule_idx", pa.int32()),
+        pa.field("round", pa.int32()),
+        pa.field("substitution", pa.large_list(pa.int64())),
+    ]
+)
+
+
+def spo_hash(subj: np.ndarray, pred: np.ndarray, obj: np.ndarray, sign: np.ndarray) -> np.ndarray:
+    return terms.combine_hash_columns(subj, pred, obj, sign.astype(np.int64))
+
+
+# --------------------------------------------------------- instantiation
+
+
+def _position_ids(term, df: pd.DataFrame, rule: Rule, rule_idx: int,
+                  sub_hash: np.ndarray) -> np.ndarray:
+    n = len(df)
+    if isinstance(term, Var):
+        if term.idx < rule.variables:
+            return df[f"v{term.idx}"].to_numpy(np.int64)
+        return terms.skolem_ids(rule_idx, term.idx, sub_hash)
+    if isinstance(term, ConstTerm):
+        return np.full(n, term.id, dtype=np.int64)
+    if isinstance(term, Call):
+        result = expr_mod.evaluate(term, df)
+        ids, _ = expr_mod.value_term_ids(result)
+        return ids
+    raise TypeError(term)
+
+
+def _substitution_column(df: pd.DataFrame, rule: Rule) -> list:
+    cols = []
+    for i in range(rule.variables):
+        c = f"v{i}"
+        cols.append(df[c].to_numpy(np.int64) if c in df.columns else None)
+    n = len(df)
+    return [
+        [int(c[r]) if c is not None else None for c in cols] for r in range(n)
+    ]
+
+
+def _sub_hash(df: pd.DataFrame, rule: Rule) -> np.ndarray:
+    arrays = []
+    for i in range(rule.variables):
+        c = f"v{i}"
+        if c in df.columns:
+            arrays.append(df[c].to_numpy(np.int64))
+        else:
+            arrays.append(np.zeros(len(df), dtype=np.int64))
+    if not arrays:
+        return np.zeros(len(df), dtype=np.int64)
+    return terms.combine_hash_columns(*arrays)
+
+
+def make_triples_fn(rule: Rule, rule_idx: int, round_no: int):
+    """bindings batch → TRIPLES rows for every `triple`-kind conclusion."""
+    stmts = [s for s in rule.conclusion.statements if s.kind == "triple"]
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or not stmts:
+            return TRIPLES_SCHEMA.empty_table()
+        sub_hash = _sub_hash(df, rule)
+        subs = _substitution_column(df, rule)
+        parts = []
+        for st in stmts:
+            s = _position_ids(st.triple[0], df, rule, rule_idx, sub_hash)
+            p = _position_ids(st.triple[1], df, rule, rule_idx, sub_hash)
+            o = _position_ids(st.triple[2], df, rule, rule_idx, sub_hash)
+            n = len(df)
+            parts.append(
+                pa.table(
+                    {
+                        "subj": pa.array(s, pa.int64()),
+                        "pred": pa.array(p, pa.int64()),
+                        "obj": pa.array(o, pa.int64()),
+                        "sign": pa.array(np.full(n, st.sign), pa.bool_()),
+                        "rule_idx": pa.array(np.full(n, rule_idx, dtype=np.int32), pa.int32()),
+                        "round": pa.array(np.full(n, round_no, dtype=np.int32), pa.int32()),
+                        "substitution": pa.array(subs, pa.large_list(pa.int64())),
+                        "content_sha256": pa.nulls(n, pa.string()),
+                    },
+                    schema=TRIPLES_SCHEMA,
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return fn
+
+
+def make_eqs_fn(rule: Rule, rule_idx: int, round_no: int):
+    stmts = [s for s in rule.conclusion.statements if s.kind == "eq" and s.sign]
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or not stmts:
+            return EQS_SCHEMA.empty_table()
+        sub_hash = _sub_hash(df, rule)
+        parts = []
+        for st in stmts:
+            a = _position_ids(st.eq[0], df, rule, rule_idx, sub_hash)
+            b = _position_ids(st.eq[1], df, rule, rule_idx, sub_hash)
+            n = len(df)
+            parts.append(
+                pa.table(
+                    {
+                        "a": pa.array(a, pa.int64()),
+                        "b": pa.array(b, pa.int64()),
+                        "rule_idx": pa.array(np.full(n, rule_idx, dtype=np.int32), pa.int32()),
+                        "round": pa.array(np.full(n, round_no, dtype=np.int32), pa.int32()),
+                    },
+                    schema=EQS_SCHEMA,
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return fn
+
+
+def make_trues_fn(rule: Rule, rule_idx: int, round_no: int):
+    stmts = [s for s in rule.conclusion.statements if s.kind == "true"]
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or not stmts:
+            return TRUES_SCHEMA.empty_table()
+        subs = _substitution_column(df, rule)
+        parts = []
+        for st in stmts:
+            n = len(df)
+            result = expr_mod.evaluate(st.expr, df)
+            err_mask = result.tag == expr_mod.TAG_ERR
+            is_bool = result.tag == expr_mod.TAG_BOOL
+            value = [
+                bool(result.b[i]) if is_bool[i] else None for i in range(n)
+            ]
+            error = [
+                str(result.s[i]) if err_mask[i] else None for i in range(n)
+            ]
+            res_ids = np.where(result.tag == expr_mod.TAG_RES, result.res, 0)
+            parts.append(
+                pa.table(
+                    {
+                        "resource": pa.array(res_ids, pa.int64()),
+                        "value": pa.array(value, pa.bool_()),
+                        "error": pa.array(error, pa.string()),
+                        "sign": pa.array(np.full(n, st.sign), pa.bool_()),
+                        "rule_idx": pa.array(np.full(n, rule_idx, dtype=np.int32), pa.int32()),
+                        "round": pa.array(np.full(n, round_no, dtype=np.int32), pa.int32()),
+                        "substitution": pa.array(subs, pa.large_list(pa.int64())),
+                    },
+                    schema=TRUES_SCHEMA,
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return fn
+
+
+def rule_call_vars(rule: Rule) -> set[int]:
+    """Vars feeding Call expressions (need literal resolution columns)."""
+    out: set[int] = set()
+    for st in rule.conclusion.statements:
+        nodes = list(st.triple or ()) + list(st.eq or ()) + ([st.expr] if st.expr else [])
+        for nd in nodes:
+            if isinstance(nd, Call):
+                out |= expr_mod.expr_vars(nd)
+    return out
+
+
+# ------------------------------------------------------------- the engine
+
+
+class FixpointEngine:
+    def __init__(
+        self,
+        system: System,
+        ckpt_dir: str,
+        *,
+        buckets: int = 64,
+        num_partitions: int = 32,
+        terms_df: pd.DataFrame | None = None,
+    ):
+        self.system = system
+        self.ckpt = ckpt_dir
+        self.buckets = buckets
+        self.num_partitions = num_partitions
+        self.terms_df = terms_df  # literal dictionary for expression eval
+        os.makedirs(os.path.join(ckpt_dir, "triples"), exist_ok=True)
+        os.makedirs(os.path.join(ckpt_dir, "eqs"), exist_ok=True)
+        os.makedirs(os.path.join(ckpt_dir, "trues"), exist_ok=True)
+
+    # ----------------------------------------------------------- layout
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.ckpt, "MANIFEST.json")
+
+    def manifest(self) -> dict:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"rounds": []}
+
+    def _save_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())
+
+    def triple_files(self, *, lo: int | None = None, hi: int | None = None) -> list[str]:
+        """Parquet files of rounds lo..hi inclusive (completed rounds only)."""
+        done = {r["round"] for r in self.manifest()["rounds"]}
+        out = []
+        for r in sorted(done):
+            if lo is not None and r < lo:
+                continue
+            if hi is not None and r > hi:
+                continue
+            out.extend(
+                sorted(glob.glob(os.path.join(self.ckpt, "triples", f"round={r}", "**", "*.parquet"), recursive=True))
+            )
+        return out
+
+    def dataset(self):
+        files = self.triple_files()
+        if not files:
+            return rd.from_arrow(TRIPLES_SCHEMA.empty_table())
+        return rd.read_parquet(files)
+
+    def count(self) -> int:
+        return sum(r["new_triples"] for r in self.manifest()["rounds"])
+
+    # ------------------------------------------------------ dedup/write
+
+    def _dedup_and_write(self, cand_ds, round_no: int) -> int:
+        """candidates ∖ accumulated → ckpt/triples/round=K (bucketed)."""
+        ckpt = self.ckpt
+        buckets = self.buckets
+
+        def add_h(batch: pa.Table) -> pa.Table:
+            h = spo_hash(
+                batch["subj"].to_numpy(zero_copy_only=False),
+                batch["pred"].to_numpy(zero_copy_only=False),
+                batch["obj"].to_numpy(zero_copy_only=False),
+                batch["sign"].to_numpy(zero_copy_only=False),
+            )
+            b = (h % buckets + buckets) % buckets
+            t = batch.append_column("h", pa.array(h, pa.int64()))
+            return t.append_column("bucket", pa.array(b.astype(np.int32), pa.int32()))
+
+        withh = cand_ds.map_batches(add_h, batch_format="pyarrow")
+        # local combiner: pre-dedup each batch before the shuffle
+        withh = withh.map_batches(
+            lambda df: df.drop_duplicates(subset=["h"]), batch_format="pandas"
+        )
+
+        def check_group(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop_duplicates(subset=["h"])
+            j = int(df["bucket"].iloc[0])
+            files = glob.glob(
+                os.path.join(ckpt, "triples", "round=*", f"bucket={j}", "*.parquet")
+            )
+            if files:
+                existing = pq.read_table(files, columns=["h"])["h"].to_numpy()
+                df = df[~df["h"].isin(existing)]
+            return df
+
+        new_ds = withh.groupby("bucket").map_groups(check_group, batch_format="pandas")
+        out_dir = os.path.join(ckpt, "triples", f"round={round_no}")
+        _fresh_dir(out_dir)  # a crashed, un-manifested attempt must not double-append
+        new_ds.write_parquet(out_dir, partition_cols=["bucket"])
+        return _count_parquet_rows(out_dir)
+
+    # ------------------------------------------------------------ rounds
+
+    def load_initial(self, triples_ds) -> int:
+        """Round 0: stated facts (Cause::Stated) — dedup + checkpoint."""
+        m = self.manifest()
+        if any(r["round"] == 0 for r in m["rounds"]):
+            return next(r["new_triples"] for r in m["rounds"] if r["round"] == 0)
+        t0 = time.time()
+        n = self._dedup_and_write(triples_ds, 0)
+        m["rounds"].append({"round": 0, "new_triples": n, "seconds": time.time() - t0})
+        self._save_manifest(m)
+        return n
+
+    def _resolved_bindings(self, rule: Rule, bindings):
+        need = rule_call_vars(rule)
+        if need and self.terms_df is not None:
+            return expr_mod.resolve_vars(bindings, sorted(need), self.terms_df).materialize()
+        return bindings
+
+    def run_round(self, round_no: int) -> dict:
+        t0 = time.time()
+        full = ParquetSource(self.triple_files(hi=round_no - 1))
+        delta = ParquetSource(self.triple_files(lo=round_no - 1, hi=round_no - 1))
+        old_files = self.triple_files(hi=round_no - 2)
+        old = ParquetSource(old_files) if old_files else EmptySource()
+
+        cand_parts, eq_parts, true_parts = [], [], []
+        per_rule = {}
+        for rule_idx, rule in enumerate(self.system.rules):
+            b = rule_bindings(
+                rule, full, delta=delta, old=old, num_partitions=self.num_partitions
+            )
+            if b is None or b.count() == 0:
+                per_rule[rule.name or str(rule_idx)] = 0
+                continue
+            per_rule[rule.name or str(rule_idx)] = b.count()
+            b = self._resolved_bindings(rule, b)
+            if any(s.kind == "triple" for s in rule.conclusion.statements):
+                cand_parts.append(
+                    b.map_batches(make_triples_fn(rule, rule_idx, round_no), batch_format="pandas")
+                )
+            if any(s.kind == "eq" and s.sign for s in rule.conclusion.statements):
+                eq_parts.append(
+                    b.map_batches(make_eqs_fn(rule, rule_idx, round_no), batch_format="pandas")
+                )
+            if any(s.kind == "true" for s in rule.conclusion.statements):
+                true_parts.append(
+                    b.map_batches(make_trues_fn(rule, rule_idx, round_no), batch_format="pandas")
+                )
+
+        new = 0
+        if cand_parts:
+            cand = cand_parts[0]
+            for c in cand_parts[1:]:
+                cand = cand.union(c)
+            new = self._dedup_and_write(cand, round_no)
+        if eq_parts:
+            eqs = eq_parts[0]
+            for e in eq_parts[1:]:
+                eqs = eqs.union(e)
+            d = os.path.join(self.ckpt, "eqs", f"round={round_no}")
+            _fresh_dir(d)
+            eqs.write_parquet(d)
+        if true_parts:
+            trues = true_parts[0]
+            for t in true_parts[1:]:
+                trues = trues.union(t)
+            d = os.path.join(self.ckpt, "trues", f"round={round_no}")
+            _fresh_dir(d)
+            trues.write_parquet(d)
+
+        rec = {
+            "round": round_no,
+            "new_triples": new,
+            "seconds": time.time() - t0,
+            "per_rule_bindings": per_rule,
+        }
+        m = self.manifest()
+        m["rounds"] = [r for r in m["rounds"] if r["round"] != round_no] + [rec]
+        self._save_manifest(m)
+        return rec
+
+    def run(self, *, max_rounds: int = 25) -> dict:
+        """Iterate rounds to fixpoint. Resumes from the manifest: completed
+        rounds are skipped (their checkpoints are the state)."""
+        m = self.manifest()
+        assert any(r["round"] == 0 for r in m["rounds"]), "call load_initial first"
+        done = sorted(r["round"] for r in m["rounds"])
+        start = done[-1] + 1
+        # already converged?
+        if len(done) > 1:
+            last = next(r for r in m["rounds"] if r["round"] == done[-1])
+            if last["new_triples"] == 0:
+                return self.manifest()
+        for r in range(start, max_rounds + 1):
+            rec = self.run_round(r)
+            if rec["new_triples"] == 0:
+                break
+        return self.manifest()
+
+    # --------------------------------------------------------- side outs
+
+    def eq_pairs(self):
+        files = sorted(
+            glob.glob(os.path.join(self.ckpt, "eqs", "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            return None
+        return rd.read_parquet(files)
+
+    def trues(self):
+        files = sorted(
+            glob.glob(os.path.join(self.ckpt, "trues", "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            return None
+        return rd.read_parquet(files)
+
+
+def _fresh_dir(d: str) -> None:
+    import shutil
+
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+
+
+def _count_parquet_rows(directory: str) -> int:
+    total = 0
+    for f in glob.glob(os.path.join(directory, "**", "*.parquet"), recursive=True):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total

@@ -1,0 +1,77 @@
+"""Generic distributed join / dedup / anti-join helpers over ray.data.Datasets.
+
+Strategy (SURVEY.md §4 "Join strategy"):
+
+* **broadcast join** — when one side is known-small (rule-constant matches,
+  dimension tables): ``ray.put`` the small side once, pandas-merge inside
+  ``map_batches`` on the big side. No shuffle.
+* **hash shuffle join** — both sides large: ``Dataset.join`` (Ray's
+  hash-partitioned join).
+* **distinct** — per-batch local dedup (combiner) first, then a
+  ``groupby(keys).map_groups(head(1))`` shuffle over the much smaller
+  partials — the partial/final pattern that keeps the all-to-all exchange
+  proportional to the number of *distinct* keys, not input rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import ray
+
+BROADCAST_ROW_LIMIT = 2_000_000  # above this, broadcasting a side is a smell
+
+
+def distinct(ds, cols: Sequence[str], *, pre_dedup: bool = True):
+    """Distinct rows by ``cols`` (keeps first row per key, arbitrary order)."""
+    cols = list(cols)
+    if pre_dedup:
+        ds = ds.map_batches(
+            lambda df: df.drop_duplicates(subset=cols), batch_format="pandas"
+        )
+    return ds.groupby(cols).map_groups(lambda df: df.head(1), batch_format="pandas")
+
+
+def broadcast_join(big_ds, small_df: pd.DataFrame, on: Sequence[str], *, how: str = "inner"):
+    """Join a large Dataset against a small broadcast pandas side."""
+    assert len(small_df) <= BROADCAST_ROW_LIMIT, "side too big to broadcast — use hash_join"
+    on = list(on)
+    ref = ray.put(small_df)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(ref)
+        return df.merge(small, on=on, how=how)
+
+    return big_ds.map_batches(_merge, batch_format="pandas")
+
+
+def hash_join(left, right, on: Sequence[str], *, how: str = "inner", num_partitions: int = 32):
+    """Hash-partitioned shuffle join via ``Dataset.join``."""
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=tuple(on),
+        validate_schemas=False,
+    )
+
+
+def broadcast_semi_filter(big_ds, keys_df: pd.DataFrame, on: Sequence[str], *, anti: bool = False):
+    """Semi/anti join of a big Dataset against a broadcast key set."""
+    assert len(keys_df) <= BROADCAST_ROW_LIMIT
+    on = list(on)
+    ref = ray.put(keys_df[on].drop_duplicates())
+
+    def _filt(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(ref)
+        merged = df.merge(keys.assign(__hit=1), on=on, how="left")
+        mask = merged["__hit"].isna() if anti else merged["__hit"].notna()
+        return merged.loc[mask, df.columns.tolist()]
+
+    return big_ds.map_batches(_filt, batch_format="pandas")
+
+
+def cross_join_key(ds, name: str = "__x"):
+    """Add a constant key column (explicit cartesian-product join key)."""
+    return ds.add_column(name, lambda df: pd.Series(0, index=df.index), batch_format="pandas")

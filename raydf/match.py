@@ -1,0 +1,257 @@
+"""Hypothesis matching — the conjunctive-query core (SURVEY.md §2.2).
+
+The reference enumerates substitutions with a backtracking DFS over
+per-pattern BTree-index lookups (src/rule/mod.rs:160-207,
+src/utils/search.rs:29-75). Distributed, that becomes an **iterated hash
+join cascade** over a *bindings table* (one int64 column per variable,
+one row per partial substitution — the Arrow form of
+``PatternSubstitution``, src/pattern/mod.rs:41-42):
+
+1. each pattern scans the triple source with its constants pushed down
+   (Parquet row-group pruning / Arrow filter — the distributed stand-in
+   for the reference's SPO/POS/OSP BTree indexes);
+2. repeated variables inside one pattern become intra-row equality
+   filters (non-linear patterns, src/pattern/mod.rs:16-26);
+3. patterns are joined in greedy selectivity order on their shared
+   variables — binding consistency (``PatternSubstitution::bind``,
+   src/pattern/mod.rs:82-93) is exactly the join condition;
+4. small bindings sides are broadcast (ray.put + per-batch pandas merge),
+   large ones go through Ray's hash-partitioned ``Dataset.join``.
+
+Negative-sign patterns match **explicitly stored negative facts only**
+(``sign == False`` rows) — never closed-world anti-joins
+(reference src/dataset.rs:46-60; SURVEY.md O9).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from raydf import joins
+from raydf.rules import ConstTerm, Rule, SignedPattern, Var
+
+BROADCAST_BINDINGS_LIMIT = 500_000
+POSITIONS = ("subj", "pred", "obj")
+
+
+# ------------------------------------------------------------ triple sources
+
+
+class TripleSource:
+    """A scannable set of signed triples (the reference's dataset trait
+    family, src/dataset.rs:13-44 — O40: bring-your-own store)."""
+
+    def scan(self, sp: SignedPattern):  # -> rd.Dataset | None
+        raise NotImplementedError
+
+
+@dataclass
+class DatasetSource(TripleSource):
+    """Wrap any ray.data.Dataset with subj/pred/obj/sign columns."""
+
+    ds: object
+
+    def scan(self, sp: SignedPattern):
+        flt = make_pattern_filter(sp)
+        return self.ds.map_batches(flt, batch_format="pyarrow")
+
+
+@dataclass
+class ParquetSource(TripleSource):
+    """Triple store checkpointed to Parquet; constants are pushed down to
+    the scan (column pruning + row-group skipping) — 'prune at the read'."""
+
+    files: list
+
+    def scan(self, sp: SignedPattern):
+        if not self.files:
+            return None
+        expr = pads.field("sign") == sp.sign
+        for pos, t in zip(POSITIONS, (sp.pattern.s, sp.pattern.p, sp.pattern.o)):
+            if isinstance(t, ConstTerm):
+                expr = expr & (pads.field(pos) == t.id)
+        ds = rd.read_parquet(
+            self.files, columns=["subj", "pred", "obj", "sign"], filter=expr
+        )
+        # row-group pruning is coarse; re-apply the exact filter per batch
+        flt = make_pattern_filter(sp)
+        return ds.map_batches(flt, batch_format="pyarrow")
+
+
+class EmptySource(TripleSource):
+    def scan(self, sp: SignedPattern):
+        return None
+
+
+# ------------------------------------------------------- per-pattern match
+
+
+def make_pattern_filter(sp: SignedPattern):
+    """Build the vectorized batch filter+projection for one signed pattern.
+
+    Returns a callable: pa.Table(subj,pred,obj,sign,...) -> pa.Table of
+    bindings (columns v{i}:int64).
+    """
+    pattern = sp.pattern
+    consts = []  # (position, term_id)
+    var_first: dict[int, str] = {}  # var idx -> first position holding it
+    eq_pairs = []  # (pos_a, pos_b) for repeated vars
+    for pos, t in zip(POSITIONS, (pattern.s, pattern.p, pattern.o)):
+        if isinstance(t, ConstTerm):
+            consts.append((pos, t.id))
+        elif isinstance(t, Var):
+            if t.idx in var_first:
+                eq_pairs.append((var_first[t.idx], pos))
+            else:
+                var_first[t.idx] = pos
+    sign = sp.sign
+    out_cols = sorted(var_first.items())  # [(var_idx, position)]
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["sign"], sign)
+        for pos, tid in consts:
+            mask = pc.and_(mask, pc.equal(batch[pos], tid))
+        for a, b in eq_pairs:
+            mask = pc.and_(mask, pc.equal(batch[a], batch[b]))
+        filtered = batch.filter(mask)
+        return pa.table({f"v{i}": filtered[pos] for i, pos in out_cols})
+
+    return _filter
+
+
+def match_pattern(source: TripleSource, sp: SignedPattern):
+    """Dataset of bindings (v{i} columns) matching one signed pattern."""
+    return source.scan(sp)
+
+
+# --------------------------------------------------------------- join order
+
+
+def order_patterns(items: list) -> list:
+    """Greedy join order: most selective first, then stay connected.
+
+    items: list of (SignedPattern, TripleSource, priority) — higher
+    priority first among equals (used to put the Δ pattern first in
+    semi-naive rounds).
+    """
+    remaining = list(items)
+    ordered = []
+    bound: set[int] = set()
+
+    def selectivity(it):
+        sp = it[0]
+        return (it[2], sp.pattern.num_consts, -len(sp.pattern.vars))
+
+    while remaining:
+        connected = [it for it in remaining if it[0].pattern.vars & bound] if bound else []
+        pool = connected or remaining
+        best = max(pool, key=selectivity)
+        remaining.remove(best)
+        ordered.append(best)
+        bound |= best[0].pattern.vars
+    return ordered
+
+
+# ------------------------------------------------------------- join cascade
+
+
+def find_bindings(items: list, *, num_partitions: int = 32):
+    """Enumerate all consistent substitutions for a conjunction of patterns.
+
+    items: list of (SignedPattern, TripleSource, priority).
+    Returns a *materialized* Dataset of distinct bindings with one int64
+    column per hypothesis variable, or None when no match is possible.
+    """
+    ordered = order_patterns(items)
+    bindings = None
+    bound: set[int] = set()
+
+    for sp, source, _prio in ordered:
+        matched = match_pattern(source, sp)
+        if matched is None:
+            return None
+        pvars = sp.pattern.vars
+        if bindings is None:
+            bindings = matched.materialize()
+        else:
+            shared = sorted(bound & pvars)
+            if shared:
+                keys = [f"v{i}" for i in shared]
+                if bindings.count() == 0:
+                    return None
+                if bindings.count() <= BROADCAST_BINDINGS_LIMIT:
+                    small = bindings.to_pandas()
+                    bindings = joins.broadcast_join(matched, small, on=keys).materialize()
+                else:
+                    bindings = joins.hash_join(
+                        bindings, matched, on=keys, num_partitions=num_partitions
+                    ).materialize()
+            else:
+                # cartesian: rare (disconnected hypothesis); keyed cross join
+                left = joins.cross_join_key(bindings)
+                right = joins.cross_join_key(matched)
+                if bindings.count() <= BROADCAST_BINDINGS_LIMIT:
+                    bindings = joins.broadcast_join(
+                        right, left.to_pandas(), on=["__x"]
+                    ).drop_columns(["__x"]).materialize()
+                else:
+                    bindings = joins.hash_join(
+                        left, right, on=["__x"], num_partitions=num_partitions
+                    ).drop_columns(["__x"]).materialize()
+        bound |= pvars
+        if bindings.count() == 0:
+            return None
+
+    if bindings is None:
+        return None
+    var_cols = sorted(bindings.columns(), key=lambda c: int(c[1:]))
+    bindings = bindings.select_columns(var_cols)
+    return joins.distinct(bindings, var_cols).materialize()
+
+
+def rule_bindings(rule: Rule, full: TripleSource, *, delta: TripleSource | None = None,
+                  old: TripleSource | None = None, num_partitions: int = 32):
+    """All substitutions for ``rule``'s hypothesis.
+
+    Naive mode (delta=None): every pattern scans ``full``.
+
+    Semi-naive mode (SURVEY.md O11, the distributed generalization of the
+    reference's ``try_deduce_from_triple`` delta hook,
+    src/system/mod.rs:124-149): returns the union over i of
+    ``P_0..P_{i-1}`` over *full*, ``P_i`` over *Δ*, ``P_{i+1}..`` over
+    *old* — each new substitution touches at least one Δ triple and is
+    produced exactly once.
+    """
+    patterns = list(rule.hypothesis)
+    if delta is None:
+        items = [(sp, full, 0) for sp in patterns]
+        return find_bindings(items, num_partitions=num_partitions)
+
+    old = old or EmptySource()
+    results = []
+    for i in range(len(patterns)):
+        items = []
+        for j, sp in enumerate(patterns):
+            if j < i:
+                src = full
+            elif j == i:
+                src = delta
+            else:
+                src = old
+            items.append((sp, src, 1 if j == i else 0))
+        b = find_bindings(items, num_partitions=num_partitions)
+        if b is not None:
+            results.append(b)
+    if not results:
+        return None
+    out = results[0]
+    for b in results[1:]:
+        out = out.union(b)
+    var_cols = [f"v{i}" for i in range(rule.variables)]
+    return joins.distinct(out, var_cols).materialize()

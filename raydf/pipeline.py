@@ -1,0 +1,291 @@
+"""Flagship end-to-end KG-construction pipeline (BASELINE.json north_star).
+
+    read_parquet(source_code)
+      → extract (structural map_batches ∪ mention-regex actor pool)   [ckpt]
+      → term dictionary (column-pruned re-read, groupby dedup)        [ckpt]
+      → intern → stated triples (round 0)
+      → forward-chain rules to fixpoint (semi-naive Δ rounds)         [ckpt/round=K]
+      → entity-link sameAs ⇒ Eq ⇒ union-find canonicalization
+        (outer generation loop: merges can enable new rule firings —
+        re-deduce until joint fixpoint)
+      → materialize dictionary-encoded triple store sorted by (subj, pred)
+
+Every stage checkpoints to Parquet under ``workdir`` with a completion
+marker, so a killed run resumes by skipping finished stages / rounds.
+Per-round metrics live in each generation's MANIFEST.json; the pipeline
+summary in METRICS.json.
+"""
+
+from __future__ import annotations
+
+import difflib
+import glob
+import json
+import os
+import time
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from raydf import joins
+from raydf import rules as R
+from raydf.canonicalize import canonical_mapping, remap_terms, remap_triples
+from raydf.deduce import FixpointEngine
+from raydf.extract import (
+    WIDE_SCHEMA,
+    extract_wide,
+    intern_wide_batch,
+    terms_delta_batch,
+)
+from raydf.materialize import materialize_graph
+from raydf.schema import (
+    KG_CALLS,
+    KG_CONTAINS,
+    KG_DEFINES,
+    KG_IMPORTS,
+    KG_MODULE,
+    KG_SAME_AS,
+    KG_SOURCE_FILE,
+    KG_WRITTEN_IN,
+    KIND_IRI,
+    RDF_TYPE,
+)
+from raydf.extract import KG_DECLARES_MODULE
+
+
+def default_system() -> R.System:
+    """The flagship rule system (north_star: transitive contains, type
+    propagation, call→def linking, sameAs ⇒ Eq merge)."""
+    sys_ = R.System()
+    sys_.insert(
+        R.rule(
+            3,
+            [
+                R.pat(R.v(0), R.iri(KG_CONTAINS), R.v(1)),
+                R.pat(R.v(1), R.iri(KG_CONTAINS), R.v(2)),
+            ],
+            [R.triple_st(R.v(0), R.iri(KG_CONTAINS), R.v(2))],
+            name="transitive_contains",
+        )
+    )
+    sys_.insert(
+        R.rule(
+            2,
+            [R.pat(R.v(0), R.iri(KG_WRITTEN_IN), R.v(1))],
+            [R.triple_st(R.v(0), R.iri(RDF_TYPE), R.iri(KG_SOURCE_FILE))],
+            name="type_source_file",
+        )
+    )
+    sys_.insert(
+        R.rule(
+            2,
+            [R.pat(R.v(0), R.iri(KG_IMPORTS), R.v(1))],
+            [R.triple_st(R.v(1), R.iri(RDF_TYPE), R.iri(KG_MODULE))],
+            name="type_module",
+        )
+    )
+    sys_.insert(
+        R.rule(
+            3,
+            [
+                R.pat(R.v(0), R.iri(KG_CALLS), R.v(2)),
+                R.pat(R.v(1), R.iri(KG_DEFINES), R.v(2)),
+            ],
+            [R.triple_st(R.v(0), R.iri("https://raydf.dev/kg#dependsOn"), R.v(1))],
+            name="depends_on",
+        )
+    )
+    sys_.insert(
+        R.rule(
+            2,
+            [R.pat(R.v(0), R.iri(KG_SAME_AS), R.v(1))],
+            [R.eq_st(R.v(0), R.v(1))],
+            name="sameas_eq",
+        )
+    )
+    return sys_
+
+
+class EntityLinkScorer:
+    """Actor-pool entity linker (north_star "entity-link scorer" stage).
+
+    Proposes ``module:X sameAs file:F`` links from ``declaresModule``
+    edges: score = string similarity between the module name and the
+    file stem (SequenceMatcher, computed once per unique pair per batch);
+    links above ``threshold`` become sameAs triples feeding the
+    ``sameAs ⇒ Eq`` rule and thus union-find canonicalization.
+    """
+
+    def __init__(self, threshold: float = 0.9):
+        self.threshold = threshold
+
+    def _score(self, module: str, stem: str) -> float:
+        return difflib.SequenceMatcher(None, module, stem).ratio()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["p_lex"] == KG_DECLARES_MODULE]
+        if len(df) == 0:
+            return WIDE_SCHEMA.empty_table()
+        mod_name = df["o_lex"].str.removeprefix("module:")
+        stem = df["s_lex"].str.rpartition("/")[2].str.rpartition(".")[0]
+        uniq = {
+            (m, s): self._score(m, s) for m, s in set(zip(mod_name, stem))
+        }
+        score = pd.Series(
+            [uniq[(m, s)] for m, s in zip(mod_name, stem)], index=df.index
+        )
+        keep = df[score >= self.threshold]
+        n = len(keep)
+        return pa.table(
+            {
+                "s_kind": pa.array([KIND_IRI] * n, pa.uint8()),
+                "s_lex": pa.array(keep["o_lex"].tolist(), pa.large_string()),
+                "s_dt": pa.nulls(n, pa.large_string()),
+                "p_kind": pa.array([KIND_IRI] * n, pa.uint8()),
+                "p_lex": pa.array([KG_SAME_AS] * n, pa.large_string()),
+                "p_dt": pa.nulls(n, pa.large_string()),
+                "o_kind": pa.array([KIND_IRI] * n, pa.uint8()),
+                "o_lex": pa.array(keep["s_lex"].tolist(), pa.large_string()),
+                "o_dt": pa.nulls(n, pa.large_string()),
+                "sign": pa.array([True] * n, pa.bool_()),
+                "content_sha256": pa.array(keep["content_sha256"].tolist(), pa.string()),
+            },
+            schema=WIDE_SCHEMA,
+        )
+
+
+def _stage_done(d: str) -> bool:
+    return os.path.exists(os.path.join(d, "_DONE"))
+
+
+def _mark_done(d: str) -> None:
+    with open(os.path.join(d, "_DONE"), "w") as f:
+        f.write("ok")
+
+
+def compose_mappings(total: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
+    if len(total) == 0:
+        return new
+    if len(new) == 0:
+        return total
+    m = dict(zip(new["node"], new["canon"]))
+    total = total.copy()
+    total["canon"] = total["canon"].map(lambda x: m.get(x, x))
+    extra = new[~new["node"].isin(total["node"])]
+    return pd.concat([total, extra], ignore_index=True)
+
+
+def kg_pipeline(
+    source_ds,
+    workdir: str,
+    *,
+    system: R.System | None = None,
+    link_entities: bool = True,
+    buckets: int = 16,
+    num_partitions: int = 16,
+    max_rounds: int = 12,
+    max_generations: int = 3,
+    mention_concurrency: int | None = None,
+) -> dict:
+    os.makedirs(workdir, exist_ok=True)
+    system = system or default_system()
+    metrics: dict = {"stages": {}}
+    t_all = time.time()
+
+    # ---- stage 1: extraction → wide lexical triples checkpoint
+    extracted = os.path.join(workdir, "extracted")
+    t0 = time.time()
+    if not _stage_done(extracted):
+        wide = extract_wide(source_ds, mention_concurrency=mention_concurrency)
+        if link_entities:
+            links = wide.map_batches(
+                EntityLinkScorer, batch_format="pyarrow", batch_size=4096,
+                concurrency=mention_concurrency or 2,
+            )
+            wide = wide.union(links)
+        wide.write_parquet(extracted, mode="overwrite")
+        _mark_done(extracted)
+    metrics["stages"]["extract"] = time.time() - t0
+
+    wide_files = sorted(glob.glob(os.path.join(extracted, "*.parquet")))
+
+    # ---- stage 2: term dictionary (column-pruned re-read of the ckpt)
+    terms_dir = os.path.join(workdir, "terms0")
+    t0 = time.time()
+    if not _stage_done(terms_dir):
+        tds = (
+            rd.read_parquet(
+                wide_files,
+                columns=[
+                    "s_kind", "s_lex", "s_dt",
+                    "p_kind", "p_lex", "p_dt",
+                    "o_kind", "o_lex", "o_dt",
+                ],
+            )
+            .map_batches(terms_delta_batch, batch_format="pyarrow")
+        )
+        const_tbl = R_const_terms_table(system)
+        if len(const_tbl):
+            tds = tds.union(rd.from_arrow(const_tbl))
+        joins.distinct(tds, ["term_id"]).write_parquet(terms_dir, mode="overwrite")
+        _mark_done(terms_dir)
+    metrics["stages"]["terms"] = time.time() - t0
+
+    # ---- stage 3+4: stated triples → fixpoint ↔ Eq-merge generation loop
+    t0 = time.time()
+    stated = rd.read_parquet(wide_files).map_batches(
+        intern_wide_batch, batch_format="pyarrow"
+    )
+    total_mapping = pd.DataFrame({"node": [], "canon": []})
+    gen = 0
+    engine = None
+    while gen < max_generations:
+        ckpt = os.path.join(workdir, f"gen{gen}")
+        engine = FixpointEngine(
+            system, ckpt, buckets=buckets, num_partitions=num_partitions
+        )
+        engine.load_initial(stated)
+        engine.run(max_rounds=max_rounds)
+        eqs = engine.eq_pairs()
+        mapping = canonical_mapping(eqs)
+        # only *new* merges (w.r.t. the already-applied composition) matter
+        if len(mapping) == 0:
+            break
+        total_mapping = compose_mappings(total_mapping, mapping)
+        stated = remap_triples(engine.dataset(), mapping)
+        gen += 1
+    else:
+        pass
+    metrics["stages"]["fixpoint"] = time.time() - t0
+    metrics["generations"] = gen + 1
+    metrics["rounds"] = engine.manifest()["rounds"]
+    metrics["merged_entities"] = int(len(total_mapping))
+
+    # ---- stage 5: materialize sorted, dictionary-encoded store
+    t0 = time.time()
+    out_dir = os.path.join(workdir, "graph")
+    final_triples = engine.dataset()
+    terms_ds = rd.read_parquet(sorted(glob.glob(os.path.join(terms_dir, "*.parquet"))))
+    terms_ds = remap_terms(terms_ds, total_mapping)
+    if not _stage_done(out_dir):
+        materialize_graph(final_triples, terms_ds, out_dir)
+        _mark_done(out_dir)
+    metrics["stages"]["materialize"] = time.time() - t0
+
+    metrics["triples"] = engine.count()
+    metrics["seconds"] = time.time() - t_all
+    metrics["workdir"] = workdir
+    metrics["graph_dir"] = out_dir
+    with open(os.path.join(workdir, "METRICS.json"), "w") as f:
+        json.dump(metrics, f, indent=1, default=str)
+    return metrics
+
+
+def R_const_terms_table(system: R.System) -> pa.Table:
+    from raydf.terms import terms_table
+
+    consts = [(c.kind, c.lexical, c.datatype) for c in system.const_terms()]
+    seen = sorted(set(consts))
+    return terms_table(seen)

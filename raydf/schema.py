@@ -1,0 +1,113 @@
+"""Arrow schemas and well-known vocabulary for the raydf engine.
+
+Data model (SURVEY.md §1.2): the reference's ``Term`` / ``Signed<Triple>`` /
+``Vocabulary`` abstractions (reference: src/lib.rs:104-144, src/sign.rs:17,
+src/statement.rs:23-29) become two Arrow tables:
+
+* ``triples``  — one row per signed fact, all positions interned to int64
+  term ids, with lineage columns (rule_idx / round / substitution) standing
+  in for the reference's ``Cause``/``Entailment`` provenance
+  (src/cause.rs:7-40).
+* ``terms``    — the term dictionary (the reference's ``Vocabulary``
+  interning, replaced by deterministic 64-bit hashing — see raydf.terms).
+
+Blocks are ``pyarrow.Table``; every stage uses ``batch_format="pyarrow"``
+unless pandas semantics are genuinely needed.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# ---------------------------------------------------------------- term kinds
+KIND_IRI = 0
+KIND_BLANK = 1
+KIND_LITERAL = 2
+
+# ------------------------------------------------------------------- schemas
+TERMS_SCHEMA = pa.schema(
+    [
+        pa.field("term_id", pa.int64()),
+        pa.field("kind", pa.uint8()),
+        pa.field("lexical", pa.large_string()),
+        pa.field("datatype", pa.large_string(), nullable=True),
+    ]
+)
+
+# sign: True = positive fact, False = explicitly stored negative fact
+# (reference src/sign.rs:126-129 — NOT negation-as-failure).
+TRIPLES_SCHEMA = pa.schema(
+    [
+        pa.field("subj", pa.int64()),
+        pa.field("pred", pa.int64()),
+        pa.field("obj", pa.int64()),
+        pa.field("sign", pa.bool_()),
+        pa.field("rule_idx", pa.int32(), nullable=True),  # null = Cause::Stated
+        pa.field("round", pa.int32()),
+        pa.field("substitution", pa.large_list(pa.int64()), nullable=True),
+        pa.field("content_sha256", pa.string(), nullable=True),
+    ]
+)
+
+SOURCE_CODE_SCHEMA = pa.schema(
+    [
+        pa.field("repo", pa.string()),
+        pa.field("path", pa.string()),
+        pa.field("commit", pa.string()),
+        pa.field("lang", pa.string()),
+        pa.field("content", pa.large_string()),
+    ]
+)
+
+# ------------------------------------------------------- well-known IRIs
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+XSD_BOOLEAN = XSD + "boolean"
+XSD_STRING = XSD + "string"
+XSD_DECIMAL = XSD + "decimal"
+XSD_INTEGER = XSD + "integer"
+REGEX_DATATYPE = "https://schema.spruceid.com/#Regex"  # reference src/expression/value/regex.rs:13
+
+# Full XSD decimal hierarchy accepted by the reference parser
+# (src/expression/value/literal.rs:86-101).
+XSD_DECIMAL_TYPES = frozenset(
+    XSD + t
+    for t in (
+        "decimal",
+        "integer",
+        "nonPositiveInteger",
+        "negativeInteger",
+        "nonNegativeInteger",
+        "positiveInteger",
+        "long",
+        "int",
+        "short",
+        "byte",
+        "unsignedLong",
+        "unsignedInt",
+        "unsignedShort",
+        "unsignedByte",
+    )
+)
+
+# KG-construction vocabulary (BASELINE.json north_star extraction relations).
+KG = "https://raydf.dev/kg#"
+KG_CONTAINS = KG + "contains"
+KG_WRITTEN_IN = KG + "writtenIn"
+KG_AT_COMMIT = KG + "atCommit"
+KG_IMPORTS = KG + "imports"
+KG_DEFINES = KG + "defines"
+KG_CALLS = KG + "calls"
+KG_SOURCE_FILE = KG + "SourceFile"
+KG_MODULE = KG + "Module"
+KG_REPOSITORY = KG + "Repository"
+KG_DIRECTORY = KG + "Directory"
+KG_SAME_AS = KG + "sameAs"
+
+
+def empty_triples_table() -> pa.Table:
+    return TRIPLES_SCHEMA.empty_table()
+
+
+def empty_terms_table() -> pa.Table:
+    return TERMS_SCHEMA.empty_table()
