@@ -278,7 +278,7 @@ class FixpointEngine:
             if hi is not None and r > hi:
                 continue
             out.extend(
-                sorted(glob.glob(os.path.join(self.ckpt, "triples", f"round={r}", "**", "*.parquet"), recursive=True))
+                sorted(glob.glob(os.path.join(self.ckpt, "triples", f"round-{r}", "**", "*.parquet"), recursive=True))
             )
         return out
 
@@ -309,25 +309,35 @@ class FixpointEngine:
             t = batch.append_column("h", pa.array(h, pa.int64()))
             return t.append_column("bucket", pa.array(b.astype(np.int32), pa.int32()))
 
-        withh = cand_ds.map_batches(add_h, batch_format="pyarrow")
-        # local combiner: pre-dedup each batch before the shuffle
-        withh = withh.map_batches(
-            lambda df: df.drop_duplicates(subset=["h"]), batch_format="pandas"
+        # stay in pyarrow end-to-end: a pandas round-trip would degrade the
+        # all-null substitution list column to Arrow `null` type and break
+        # cross-round schema merges at read time
+        ckpt_schema = TRIPLES_SCHEMA.append(pa.field("h", pa.int64())).append(
+            pa.field("bucket", pa.int32())
         )
 
-        def check_group(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.drop_duplicates(subset=["h"])
-            j = int(df["bucket"].iloc[0])
+        def local_dedup(batch: pa.Table) -> pa.Table:
+            keep = ~pd.Series(batch["h"].to_numpy(zero_copy_only=False)).duplicated()
+            return batch.filter(pa.array(keep.to_numpy())).select(ckpt_schema.names).cast(ckpt_schema)
+
+        withh = cand_ds.map_batches(add_h, batch_format="pyarrow").map_batches(
+            local_dedup, batch_format="pyarrow"
+        )
+
+        def check_group(tbl: pa.Table) -> pa.Table:
+            h = tbl["h"].to_numpy(zero_copy_only=False)
+            keep = ~pd.Series(h).duplicated().to_numpy()
+            j = int(tbl["bucket"][0].as_py())
             files = glob.glob(
-                os.path.join(ckpt, "triples", "round=*", f"bucket={j}", "*.parquet")
+                os.path.join(ckpt, "triples", "round-*", f"bucket={j}", "*.parquet")
             )
             if files:
                 existing = pq.read_table(files, columns=["h"])["h"].to_numpy()
-                df = df[~df["h"].isin(existing)]
-            return df
+                keep &= ~np.isin(h, existing)
+            return tbl.filter(pa.array(keep)).select(ckpt_schema.names).cast(ckpt_schema)
 
-        new_ds = withh.groupby("bucket").map_groups(check_group, batch_format="pandas")
-        out_dir = os.path.join(ckpt, "triples", f"round={round_no}")
+        new_ds = withh.groupby("bucket").map_groups(check_group, batch_format="pyarrow")
+        out_dir = os.path.join(ckpt, "triples", f"round-{round_no}")
         _fresh_dir(out_dir)  # a crashed, un-manifested attempt must not double-append
         new_ds.write_parquet(out_dir, partition_cols=["bucket"])
         return _count_parquet_rows(out_dir)
@@ -392,14 +402,14 @@ class FixpointEngine:
             eqs = eq_parts[0]
             for e in eq_parts[1:]:
                 eqs = eqs.union(e)
-            d = os.path.join(self.ckpt, "eqs", f"round={round_no}")
+            d = os.path.join(self.ckpt, "eqs", f"round-{round_no}")
             _fresh_dir(d)
             eqs.write_parquet(d)
         if true_parts:
             trues = true_parts[0]
             for t in true_parts[1:]:
                 trues = trues.union(t)
-            d = os.path.join(self.ckpt, "trues", f"round={round_no}")
+            d = os.path.join(self.ckpt, "trues", f"round-{round_no}")
             _fresh_dir(d)
             trues.write_parquet(d)
 
