@@ -1,44 +1,736 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the raydf engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline over a
+deterministically derived source-code table at sf0.001.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2 + the training-data operators); ``oracle_sql()`` provides
+DuckDB-equivalent SQL for every SQL-expressible entry (the driver
+cross-checks row counts, schemas and value hashes at sf0.01). Entries
+without an oracle are non-SQL-expressible (stateful actor stages,
+LSH/minhash sketches, the full fixpoint pipeline) and get rows-only checks.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_TMP = "/tmp/raydf_runs"
+
+# integer namespaces for pre-interned graph nodes (SQL can reproduce them)
+_NATION_NS = 100_000_000
+_CUST_NS = 200_000_000
+_ORDER_NS = 300_000_000
+_CONTAINS_PRED = -1  # pre-interned predicate ids (negative: outside key space)
+_HASBAL_PRED = -2
+_SAME_PRED = -3
+
+_WORD = "[A-Za-z0-9_]+"  # ASCII word class — identical semantics in RE2 (DuckDB) and Python
+
+
+def _fresh(tag: str) -> str:
+    d = os.path.join(_TMP, tag)
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _source_code_from_documents(sf_dir: str):
+    """Derive the BASELINE.json input-shaped table (repo, path, commit,
+    lang, content) deterministically from the documents table."""
+    import ray.data as rd
+
+    def to_source(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "repo": pa.array([f"corpus/{s}" for s in srcs], pa.string()),
+                "path": pa.array(
+                    [f"docs/{l}/doc_{i}.txt" for i, l in zip(ids, langs)], pa.string()
+                ),
+                "commit": pa.array(
+                    [hashlib.sha1(f"doc-{i}".encode()).hexdigest()[:12] for i in ids],
+                    pa.string(),
+                ),
+                "lang": pa.array(langs, pa.string()),
+                "content": pa.array(texts, pa.large_string()),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(to_source, batch_format="pyarrow")
+
+
+def _int_triples(subj: np.ndarray, pred: int, obj: np.ndarray) -> pa.Table:
+    """Triples over pre-interned integer ids (keys reused as term ids)."""
+    from raydf.schema import TRIPLES_SCHEMA
+
+    n = len(subj)
+    return pa.table(
+        {
+            "subj": pa.array(np.asarray(subj, np.int64), pa.int64()),
+            "pred": pa.array(np.full(n, pred, np.int64), pa.int64()),
+            "obj": pa.array(np.asarray(obj, np.int64), pa.int64()),
+            "sign": pa.array([True] * n, pa.bool_()),
+            "rule_idx": pa.nulls(n, pa.int32()),
+            "round": pa.array([0] * n, pa.int32()),
+            "substitution": pa.nulls(n, pa.large_list(pa.int64())),
+            "content_sha256": pa.nulls(n, pa.string()),
+        },
+        schema=TRIPLES_SCHEMA,
+    )
+
+
+# ================================================================= entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: documents(sf0.001) → source_code table → extract →
+    fixpoint deduction → Eq canonicalization → sorted dictionary-encoded
+    graph; returns the decoded triple view."""
+    import glob
+
+    import ray.data as rd
+
+    from raydf.materialize import decode_triples
+    from raydf.pipeline import kg_pipeline
+
+    sf_dir = "/root/testdata/sf0.001"
+    workdir = _fresh("entry")
+    src = _source_code_from_documents(sf_dir)
+    metrics = kg_pipeline(
+        src, workdir, buckets=8, num_partitions=8, max_rounds=8, max_generations=2
+    )
+    triples = rd.read_parquet(os.path.join(metrics["graph_dir"], "triples"))
+    terms_files = glob.glob(os.path.join(metrics["graph_dir"], "terms", "*.parquet"))
+    terms_df = rd.read_parquet(terms_files).to_pandas()
+    return decode_triples(triples, terms_df)
+
+
+# ================================================================ queries
+
+
+def _q1_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["qty_c"] = np.rint(df["l_quantity"] * 100).astype(np.int64)
+        df["price_c"] = np.rint(df["l_extendedprice"] * 100).astype(np.int64)
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(qty_c=("qty_c", "sum"), price_c=("price_c", "sum"), n=("qty_c", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    # partial aggregate per batch (combiner), then the small final groupby
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_c", alias_name="sum_qty_cents"),
+        Sum("price_c", alias_name="sum_price_cents"),
+        Sum("n", alias_name="n"),
+    )
+    return out
+
+
+def _q_top_orders(sf_dir: str):
+    from raydf.joins import broadcast_join
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    cust = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+    )
+    joined = broadcast_join(orders, cust, on=["c_custkey"])
+    top = joined.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype(np.int64),
+                "totalprice_cents": np.rint(df["o_totalprice"] * 100).astype(np.int64),
+            }
+        )
+
+    return top.map_batches(fin, batch_format="pandas")
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from raydf.joins import broadcast_join
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    dim = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]]
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda df: df.assign(
+            c_custkey=df["o_custkey"],
+            price_c=np.rint(df["o_totalprice"] * 100).astype(np.int64),
+        )[["c_custkey", "price_c"]],
+        batch_format="pandas",
+    )
+    joined = broadcast_join(orders, dim, on=["c_custkey"])
+    return joined.groupby("n_name").aggregate(Sum("price_c", alias_name="revenue_cents"))
+
+
+def _q_distinct_segments(sf_dir: str):
+    vals = _read(sf_dir, "customer", columns=["c_mktsegment"]).unique("c_mktsegment")
+    return pa.table({"c_mktsegment": pa.array(sorted(vals), pa.string())})
+
+
+def _q_filter_events(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["event_type"], "click"), pc.greater(t["value"], 50.0))
+        ).select(["event_id"]),
+        batch_format="pyarrow",
+    )
+    return out
+
+
+def _q_window_tumbling(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["window"] = (df["ts"] // 3600).astype(np.int64)
+        df["value_c"] = np.rint(df["value"] * 100).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["user_id", "window", "value_c"]], preserve_index=False
+        )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return ds.groupby(["user_id", "window"]).aggregate(
+        Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value_cents")
+    )
+
+
+def _q_orders_priority(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")), batch_format="pyarrow"
+    )
+    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+
+
+# ------------------------------------------------------------ KG queries
+
+
+def _kg_extract_structural(sf_dir: str):
+    def to_triples(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        s, p, o = [], [], []
+        for i, l, src in zip(ids, langs, srcs):
+            s.append(f"repo:{src}")
+            p.append("contains")
+            o.append(f"doc:{i}")
+            s.append(f"doc:{i}")
+            p.append("writtenIn")
+            o.append(f"lang:{l}")
+        return pa.table(
+            {
+                "s_lex": pa.array(s, pa.string()),
+                "p_lex": pa.array(p, pa.string()),
+                "o_lex": pa.array(o, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "lang", "source"]).map_batches(
+        to_triples, batch_format="pyarrow"
+    )
+
+
+def _hierarchy_edges(sf_dir: str) -> pa.Table:
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    e1s = cust["c_nationkey"].to_numpy(np.int64) + _NATION_NS
+    e1o = cust["c_custkey"].to_numpy(np.int64) + _CUST_NS
+    e2s = orders["o_custkey"].to_numpy(np.int64) + _CUST_NS
+    e2o = orders["o_orderkey"].to_numpy(np.int64) + _ORDER_NS
+    return pa.concat_tables(
+        [
+            _int_triples(e1s, _CONTAINS_PRED, e1o),
+            _int_triples(e2s, _CONTAINS_PRED, e2o),
+        ]
+    )
+
+
+def _kg_transitive_contains(sf_dir: str):
+    import ray.data as rd
+
+    from raydf import rules as R
+    from raydf.deduce import FixpointEngine
+
+    triples = _hierarchy_edges(sf_dir)
+    system = R.System()
+    system.insert(
+        R.rule(
+            3,
+            [
+                R.pat(R.v(0), IntConst(_CONTAINS_PRED), R.v(1)),
+                R.pat(R.v(1), IntConst(_CONTAINS_PRED), R.v(2)),
+            ],
+            [R.triple_st(R.v(0), IntConst(_CONTAINS_PRED), R.v(2))],
+            name="trans",
+        )
+    )
+    wd = _fresh(f"transitive-{os.path.basename(sf_dir)}")
+    eng = FixpointEngine(system, wd, buckets=16, num_partitions=8)
+    eng.load_initial(rd.from_arrow(triples))
+    eng.run(max_rounds=6)
+    out = eng.dataset().map_batches(
+        lambda df: pd.DataFrame(
+            {"anc": df["subj"].astype(np.int64), "desc": df["obj"].astype(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    from raydf.joins import distinct
+
+    return distinct(out, ["anc", "desc"])
+
+
+def _kg_validation_negative_balance(sf_dir: str):
+    import ray.data as rd
+
+    from raydf import rules as R
+    from raydf.deduce import FixpointEngine
+    from raydf.schema import KIND_LITERAL, XSD_DECIMAL
+    from raydf.terms import intern_array
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).to_pandas()
+    lex = np.array([_dec_str(x) for x in cust["c_acctbal"]], dtype=object)
+    lit_ids = intern_array(KIND_LITERAL, lex, np.full(len(lex), XSD_DECIMAL, object))
+    triples = _int_triples(
+        cust["c_custkey"].to_numpy(np.int64), _HASBAL_PRED, lit_ids
+    )
+    terms_df = pd.DataFrame(
+        {
+            "term_id": lit_ids,
+            "kind": KIND_LITERAL,
+            "lexical": lex,
+            "datatype": XSD_DECIMAL,
+        }
+    ).drop_duplicates("term_id")
+
+    system = R.System()
+    system.insert(
+        R.rule(
+            2,
+            [R.pat(R.v(0), IntConst(_HASBAL_PRED), R.v(1))],
+            [R.true_st(R.Call("geq", (R.v(1), R.dec(0))))],
+            name="nonneg_balance",
+        )
+    )
+    wd = _fresh(f"valbal-{os.path.basename(sf_dir)}")
+    eng = FixpointEngine(system, wd, buckets=8, num_partitions=8, terms_df=terms_df)
+    eng.load_initial(rd.from_arrow(triples))
+    eng.run_round(1)
+    trues = eng.trues()
+    if trues is None:
+        return pa.table({"c_custkey": pa.array([], pa.int64())})
+    df = trues.to_pandas()
+    viol = df[(df["value"] == False)]  # noqa: E712
+    keys = sorted(int(s[0]) for s in viol["substitution"])
+    return pa.table({"c_custkey": pa.array(keys, pa.int64())})
+
+
+def _kg_eq_canonicalize(sf_dir: str):
+    from raydf.canonicalize import canonical_mapping_driver
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    rep = cust.groupby("c_nationkey")["c_custkey"].transform("min")
+    pairs = pd.DataFrame({"a": cust["c_custkey"], "b": rep})
+    mapping = canonical_mapping_driver(pairs[pairs["a"] != pairs["b"]])
+    m = dict(zip(mapping["node"], mapping["canon"]))
+    canon = cust["c_custkey"].map(lambda x: m.get(x, x)).astype(np.int64)
+    return pa.table(
+        {
+            "node": pa.array(cust["c_custkey"].to_numpy(np.int64), pa.int64()),
+            "canon": pa.array(canon.to_numpy(), pa.int64()),
+        }
+    )
+
+
+def _kg_type_propagation(sf_dir: str):
+    import ray.data as rd
+
+    from raydf import rules as R
+    from raydf.deduce import FixpointEngine
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).to_pandas()
+    LANG_NODE = 900_000_000
+    TYPE_PRED = -4
+    DOC_CLASS = 910_000_000
+    triples = _int_triples(
+        docs["doc_id"].to_numpy(np.int64),
+        _CONTAINS_PRED,  # reuse as writtenIn surrogate
+        np.full(len(docs), LANG_NODE, np.int64),
+    )
+    system = R.System()
+    system.insert(
+        R.rule(
+            2,
+            [R.pat(R.v(0), IntConst(_CONTAINS_PRED), R.v(1))],
+            [R.triple_st(R.v(0), IntConst(TYPE_PRED), IntConst(DOC_CLASS))],
+            name="type_prop",
+        )
+    )
+    wd = _fresh(f"typeprop-{os.path.basename(sf_dir)}")
+    eng = FixpointEngine(system, wd, buckets=8, num_partitions=8)
+    eng.load_initial(rd.from_arrow(triples))
+    eng.run(max_rounds=3)
+    out = eng.dataset().map_batches(
+        lambda df: df[df["pred"] == TYPE_PRED][["subj"]].rename(
+            columns={"subj": "doc_id"}
+        ),
+        batch_format="pandas",
+    )
+    from raydf.joins import distinct
+
+    return distinct(out, ["doc_id"])
+
+
+# -------------------------------------------------- training-data queries
+
+
+def _dedup_exact_docs(sf_dir: str):
+    from raydf.datapipe.dedup import exact_dedup
+
+    out = exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return out.select_columns(["doc_id"])
+
+
+def _text_token_count(sf_dir: str):
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(
+                    texts.str.count(_WORD).to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def _text_quality_basic(sf_dir: str):
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist())
+        n_chars = texts.str.len().astype(np.int64)
+        n_spaces = texts.str.count(" ").astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_calc": pa.array(n_chars.to_numpy(), pa.int64()),
+                "n_spaces": pa.array(n_spaces.to_numpy(), pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def _doc_fingerprint(sf_dir: str):
+    def fp(batch: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5(t.lower().encode()).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "md5_fingerprint": pa.array(md5s, pa.string())}
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+
+
+def _ann_topk(sf_dir: str):
+    from raydf.datapipe.ann import cosine_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = (
+        emb.map_batches(
+            lambda t: t.filter(pa.compute.equal(t["vec_id"], 0)), batch_format="pyarrow"
+        )
+        .to_pandas()["embedding"]
+        .iloc[0]
+    )
+    top = cosine_topk(emb, np.asarray(q, dtype=np.float64), k=5, dtype=np.float64)
+    top["score_e6"] = np.rint(top["score"] * 1e6).astype(np.int64)
+    return pa.table(
+        {
+            "vec_id": pa.array(top["vec_id"].to_numpy(np.int64), pa.int64()),
+            "score_e6": pa.array(top["score_e6"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def _minhash_dedup_docs(sf_dir: str):
+    from raydf.datapipe.dedup import minhash_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs_df = docs.to_pandas()
+    survivors, _mapping = minhash_dedup(docs, docs_df, threshold=0.8)
+    return pa.table(
+        {"doc_id": pa.array(sorted(survivors["doc_id"].tolist()), pa.int64())}
+    )
+
+
+def _simhash_pairs_docs(sf_dir: str):
+    from raydf.datapipe.dedup import simhash_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs(docs).select_columns(["a", "b"])
+
+
+def _embedding_neardup(sf_dir: str):
+    from raydf.datapipe.ann import embedding_neardup_pairs
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dim = len(emb.take(1)[0]["embedding"])
+    pairs = embedding_neardup_pairs(emb, dim, threshold=0.9)
+    return pairs.select_columns(["a", "b"])
+
+
+def _lang_id_docs(sf_dir: str):
+    from raydf.datapipe.text import LangId
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(
+        LangId, batch_format="pyarrow", batch_size=1024, concurrency=2
+    )
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def _quality_scores(sf_dir: str):
+    from raydf.datapipe.text import quality_score
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(quality_score, batch_format="pyarrow")
+
+
+def _multimodal_featurize(sf_dir: str):
+    import ray.data as rd
+
+    from raydf.datapipe.multimodal import featurize, synthetic_media_table
+
+    media = rd.from_arrow(synthetic_media_table(256))
+    out = featurize(media, concurrency=2, batch_size=64)
+    return out.select_columns(["media_id", "decoded"])
+
+
+def _kg_full_pipeline(sf_dir: str):
+    """Rows-only: full flagship pipeline at the given sf; returns decoded triples."""
+    import glob
+
+    import ray.data as rd
+
+    from raydf.materialize import decode_triples
+    from raydf.pipeline import kg_pipeline
+
+    workdir = _fresh(f"full-{os.path.basename(sf_dir)}")
+    src = _source_code_from_documents(sf_dir)
+    metrics = kg_pipeline(
+        src, workdir, buckets=8, num_partitions=8, max_rounds=8, max_generations=2
+    )
+    triples = rd.read_parquet(os.path.join(metrics["graph_dir"], "triples"))
+    terms_df = rd.read_parquet(
+        glob.glob(os.path.join(metrics["graph_dir"], "terms", "*.parquet"))
+    ).to_pandas()
+    return decode_triples(triples, terms_df)
+
+
+def _dec_str(x: float) -> str:
+    return str(int(x)) if float(x).is_integer() else repr(float(x))
+
+
+def IntConst(i: int):
+    """A pre-interned constant: the raw int64 IS the term id (used when a
+    table's integer keys are reused directly as resource ids)."""
+    from raydf.rules import ConstTerm
+
+    class _IntConst(ConstTerm):
+        @property
+        def id(self) -> int:  # bypass hashing: the key itself is the id
+            return int(self.lexical.removeprefix("int:"))
+
+    return _IntConst(kind=0, lexical=f"int:{i}", datatype=None)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator families (SQL-checked)
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q_top_orders": _q_top_orders,
+        "q_revenue_by_nation": _q_revenue_by_nation,
+        "q_distinct_segments": _q_distinct_segments,
+        "q_filter_events": _q_filter_events,
+        "q_window_tumbling": _q_window_tumbling,
+        "q_orders_priority": _q_orders_priority,
+        # KG operator families
+        "kg_extract_structural": _kg_extract_structural,
+        "kg_transitive_contains": _kg_transitive_contains,
+        "kg_validation_negative_balance": _kg_validation_negative_balance,
+        "kg_eq_canonicalize": _kg_eq_canonicalize,
+        "kg_type_propagation": _kg_type_propagation,
+        "kg_full_pipeline": _kg_full_pipeline,
+        # training-data operators
+        "dedup_exact_docs": _dedup_exact_docs,
+        "text_token_count": _text_token_count,
+        "text_quality_basic": _text_quality_basic,
+        "doc_fingerprint": _doc_fingerprint,
+        "ann_topk": _ann_topk,
+        "minhash_dedup_docs": _minhash_dedup_docs,
+        "simhash_pairs_docs": _simhash_pairs_docs,
+        "embedding_neardup": _embedding_neardup,
+        "lang_id_docs": _lang_id_docs,
+        "quality_scores": _quality_scores,
+        "multimodal_featurize": _multimodal_featurize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_top_orders": """
+            SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q_revenue_by_nation": """
+            SELECT n_name, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS revenue_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_distinct_segments": """
+            SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+        """,
+        "q_filter_events": """
+            SELECT event_id FROM events WHERE event_type = 'click' AND value > 50.0
+        """,
+        "q_window_tumbling": """
+            SELECT user_id, ts / 3600 AS window, COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_cents
+            FROM events GROUP BY user_id, ts / 3600
+        """,
+        "q_orders_priority": """
+            SELECT o_orderpriority, COUNT(*) AS n FROM orders
+            WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+        """,
+        "kg_extract_structural": """
+            SELECT 'repo:' || source AS s_lex, 'contains' AS p_lex,
+                   'doc:' || doc_id AS o_lex FROM documents
+            UNION ALL
+            SELECT 'doc:' || doc_id, 'writtenIn', 'lang:' || lang FROM documents
+        """,
+        "kg_transitive_contains": f"""
+            WITH RECURSIVE edges(a, b) AS (
+                SELECT c_nationkey + {_NATION_NS}, c_custkey + {_CUST_NS} FROM customer
+                UNION ALL
+                SELECT o_custkey + {_CUST_NS}, o_orderkey + {_ORDER_NS} FROM orders
+            ), reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT DISTINCT a AS anc, b AS "desc" FROM reach
+        """,
+        "kg_validation_negative_balance": """
+            SELECT c_custkey FROM customer WHERE c_acctbal < 0 ORDER BY c_custkey
+        """,
+        "kg_eq_canonicalize": """
+            SELECT c_custkey AS node,
+                   MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS canon
+            FROM customer
+        """,
+        "kg_type_propagation": """
+            SELECT DISTINCT doc_id FROM documents
+        """,
+        "dedup_exact_docs": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "text_token_count": f"""
+            SELECT doc_id, CAST(len(regexp_extract_all(text, '{_WORD}')) AS BIGINT)
+                   AS n_tokens
+            FROM documents
+        """,
+        "text_quality_basic": """
+            SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+                   CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT)
+                   AS n_spaces
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(LOWER(text)) AS md5_fingerprint FROM documents
+        """,
+        "ann_topk": """
+            SELECT e.vec_id,
+                   CAST(ROUND(list_cosine_similarity(e.embedding, q.embedding) * 1e6)
+                        AS BIGINT) AS score_e6
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC
+            LIMIT 5
+        """,
+        # minhash/simhash/embedding-LSH/lang-id/quality/multimodal/full
+        # pipeline are non-SQL-expressible (stateful sketches, heuristic
+        # models, fixpoint engine) → rows-only checks.
+    }

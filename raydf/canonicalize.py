@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 DRIVER_PAIR_LIMIT = 5_000_000
@@ -59,16 +60,19 @@ def canonical_mapping_driver(pairs: pd.DataFrame) -> pd.DataFrame:
     return uf.mapping()
 
 
-def canonical_mapping_distributed(edges_ds, *, max_iters: int = 30) -> pd.DataFrame:
-    """Min-label propagation over Eq edges as Ray Data groupby rounds.
+def canonical_mapping_distributed(
+    edges_ds, *, max_iters: int = 20, num_partitions: int = 8
+) -> pd.DataFrame:
+    """Min-label propagation + pointer jumping over Eq edges as Ray Data
+    groupby/join rounds.
 
-    labels(v) ← min(labels(v), min_{(v,u)∈E} labels(u)); iterate to a
-    fixpoint. Scales to edge sets that don't fit the driver; rounds are
-    bounded by component diameter (star-shaped entity-link outputs → 2-3).
+    Per round: labels(v) ← min(labels(v), min over neighbours' labels,
+    labels(labels(v))) — the pointer-jumping term halves chain lengths, so
+    convergence is O(log diameter) shuffle rounds instead of O(diameter).
+    Scales to edge sets that don't fit the driver; the monotone label sum
+    is the convergence scalar (one cheap aggregate per round).
     """
     from ray.data.aggregate import Min
-
-    from raydf.joins import hash_join
 
     sym = edges_ds.map_batches(
         lambda df: pd.concat(
@@ -79,33 +83,74 @@ def canonical_mapping_distributed(edges_ds, *, max_iters: int = 30) -> pd.DataFr
         ),
         batch_format="pandas",
     ).materialize()
+    def _arrow(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     labels = (
         sym.groupby("node")
         .aggregate(Min("nbr", alias_name="lbl"))
         .map_batches(
-            lambda df: df.assign(lbl=np.minimum(df["node"], df["lbl"])),
+            lambda df: _arrow(df.assign(lbl=np.minimum(df["node"], df["lbl"]))),
             batch_format="pandas",
         )
         .materialize()
     )
+    # uniform message schema (key:int64, val:int64, side:int32) lets the
+    # lookup be a single groupby-merge — the portable partitioned hash
+    # join (no Dataset.join; robust on sparse partitions)
+    def _msgs(ds, key: str, val: str, side: int):
+        def f(t):
+            import pyarrow as pa
+
+            n = len(t)
+            return pa.table(
+                {
+                    "key": t[key].cast(pa.int64()),
+                    "val": t[val].cast(pa.int64()),
+                    "side": pa.array(np.full(n, side, np.int32), pa.int32()),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def _lookup_merge(df: pd.DataFrame) -> pd.DataFrame:
+        # rows for one key: side=1 carries label(key); side=0 carries the
+        # recipients (nodes asking for label(key))
+        lbls = df.loc[df["side"] == 1, "val"]
+        if len(lbls) == 0:
+            return pd.DataFrame({"node": [], "lbl": []}).astype(np.int64)
+        lbl = int(lbls.min())
+        recips = df.loc[df["side"] == 0, "val"]
+        return pd.DataFrame({"node": recips.to_numpy(np.int64), "lbl": lbl})
+
     prev_sum = labels.sum("lbl")
     for _ in range(max_iters):
-        # propagate each node's label to its neighbours, keep the min
-        prop = hash_join(
-            sym,
-            labels.map_batches(
-                lambda df: df.rename(columns={"node": "nbr"}), batch_format="pandas"
-            ),
-            on=["nbr"],
-        ).select_columns(["node", "lbl"])
+        # (1) neighbour propagation: node ← label(nbr): ask at key=nbr
+        ask_nbr = _msgs(sym, key="nbr", val="node", side=0)
+        # (2) pointer jumping: node ← label(label(node)): ask at key=lbl
+        ask_jump = _msgs(labels, key="lbl", val="node", side=0)
+        have = _msgs(labels, key="node", val="lbl", side=1)
+        updates = (
+            ask_nbr.union(ask_jump)
+            .union(have)
+            .groupby("key")
+            .map_groups(_lookup_merge, batch_format="pandas")
+            .map_batches(
+                lambda df: pa.Table.from_pandas(
+                    df.astype(np.int64), preserve_index=False
+                ),
+                batch_format="pandas",
+            )
+        )
         labels = (
             labels.select_columns(["node", "lbl"])
-            .union(prop)
+            .union(updates)
             .groupby("node")
             .aggregate(Min("lbl", alias_name="lbl"))
             .materialize()
         )
-        # labels are monotone non-increasing → the sum is a convergence scalar
         cur_sum = labels.sum("lbl")
         if cur_sum == prev_sum:
             break

@@ -1,0 +1,300 @@
+"""Deduplication operators over a documents table (id + text).
+
+All variants follow the same scale shape:
+
+* **exact**        — vectorized content hash per batch (combiner) →
+  ``groupby(hash).map_groups(min-id)``: the shuffle moves one row per
+  distinct hash after local pre-dedup.
+* **MinHash-LSH**  — shingle → k minhashes → b bands; explode to
+  (band, band_hash, doc) rows; ``groupby(band, band_hash)`` emits
+  candidate pairs; pairs verified by shingle-Jaccard; connected
+  components pick the min-id survivor per near-dup cluster. Only
+  candidate pairs ever leave their bucket.
+* **SimHash**      — 64-bit simhash per doc; bucket by the 4×16-bit
+  sub-fingerprints (any near-dup within Hamming distance ≤3 shares at
+  least one sub-band); verify Hamming distance in-bucket.
+* **n-gram Jaccard** — direct pairwise verification used as the verifier
+  for candidate pairs (and exposed standalone for small relations).
+* **embedding cosine** — see raydf.datapipe.ann (bucketed by coarse LSH
+  sign-bits, verified by exact cosine).
+
+Deterministic throughout: hashing via blake2b-seeded integer mixes, no
+RNG state — a retried task reproduces its output bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raydf import terms
+from raydf.joins import distinct
+
+
+def _text_hash(texts) -> np.ndarray:
+    return terms.hash64_strings(np.asarray(texts, dtype=object), prefix=b"doc\x1f")
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(docs_ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the min-id document per exact text (hash-partitioned)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = _text_hash(batch[text_col].to_pylist())
+        return batch.append_column("__h", pa.array(h, pa.int64()))
+
+    def local_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col).drop_duplicates("__h")
+
+    ds = docs_ds.map_batches(add_hash, batch_format="pyarrow")
+    ds = ds.map_batches(local_min, batch_format="pandas")  # combiner
+    out = ds.groupby("__h").map_groups(local_min, batch_format="pandas")
+    return out.drop_columns(["__h"])
+
+
+# ------------------------------------------------------------- minhash-lsh
+
+
+def _shingles(text: str, k: int) -> set:
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        return {t}
+    return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+
+_M61 = (1 << 61) - 1
+
+
+def _minhash_matrix(shingle_hashes: list[np.ndarray], num_hashes: int) -> np.ndarray:
+    """num_docs × num_hashes minhash signatures from per-doc shingle hash arrays.
+
+    Universal-hash family a*x+b mod p with deterministic (a, b) derived from
+    the permutation index — no RNG state, stable across processes."""
+    a = np.array(
+        [terms._h64(f"mh-a-{i}".encode()) | 1 for i in range(num_hashes)], dtype=np.uint64
+    ) % _M61
+    b = np.array(
+        [terms._h64(f"mh-b-{i}".encode()) for i in range(num_hashes)], dtype=np.uint64
+    ) % _M61
+    out = np.empty((len(shingle_hashes), num_hashes), dtype=np.uint64)
+    for d, sh in enumerate(shingle_hashes):
+        if len(sh) == 0:
+            out[d, :] = 0
+            continue
+        x = sh.astype(np.uint64) % _M61
+        # (num_hashes, n_shingles) via broadcasting, then min over shingles
+        vals = (np.multiply.outer(a, x) + b[:, None]) % _M61
+        out[d, :] = vals.min(axis=1)
+    return out
+
+
+class MinHasher:
+    """Actor-pool stage: text → (band_id, band_hash) LSH keys.
+
+    Shingling+hashing state (hash coefficients) built once per actor."""
+
+    def __init__(self, *, k: int = 5, num_hashes: int = 64, bands: int = 16):
+        assert num_hashes % bands == 0
+        self.k, self.num_hashes, self.bands = k, num_hashes, bands
+        self.rows_per_band = num_hashes // bands
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        sh = [
+            terms.hash64_strings(np.array(sorted(_shingles(t, self.k)), dtype=object))
+            for t in texts
+        ]
+        return _minhash_matrix(sh, self.num_hashes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sig = self.signatures(batch["text"].to_pylist())
+        n = len(ids)
+        band_ids, band_hashes, doc_ids = [], [], []
+        for bnd in range(self.bands):
+            seg = sig[:, bnd * self.rows_per_band : (bnd + 1) * self.rows_per_band]
+            cols = [seg[:, i].astype(np.int64) for i in range(seg.shape[1])]
+            bh = terms.combine_hash_columns(*cols)
+            band_ids.append(np.full(n, bnd, dtype=np.int32))
+            band_hashes.append(bh)
+            doc_ids.append(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(band_ids), pa.int32()),
+                "band_hash": pa.array(np.concatenate(band_hashes), pa.int64()),
+                "doc_id": pa.array(np.concatenate(doc_ids), pa.int64()),
+            }
+        )
+
+
+def minhash_candidate_pairs(docs_ds, *, k=5, num_hashes=64, bands=16, concurrency=4):
+    """LSH candidate pairs (a < b) — docs sharing any band bucket."""
+    keys = docs_ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"k": k, "num_hashes": num_hashes, "bands": bands},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+    )
+
+    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        # bucket sizes are tiny by construction; cap pathological buckets
+        ids = ids[:200]
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+
+    pairs = keys.groupby(["band", "band_hash"]).map_groups(
+        pairs_of_group, batch_format="pandas"
+    )
+    return distinct(pairs, ["a", "b"])
+
+
+def jaccard_verify(pairs_ds, docs_df: pd.DataFrame, *, k=5, threshold=0.8,
+                   text_col="text", id_col="doc_id"):
+    """Verify candidate pairs by shingle Jaccard ≥ threshold (broadcast docs).
+
+    At scale replace the broadcast with a double hash_join pairs⋈docs on
+    a/b to ship only the needed texts per partition."""
+    import ray
+
+    ref = ray.put(docs_df.set_index(id_col)[text_col].to_dict())
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(ref)
+        sims = []
+        cache: dict[int, set] = {}
+
+        def sh(i):
+            if i not in cache:
+                cache[i] = _shingles(texts[i], k)
+            return cache[i]
+
+        for a, b in zip(df["a"], df["b"]):
+            sa, sb = sh(int(a)), sh(int(b))
+            inter = len(sa & sb)
+            union = len(sa | sb) or 1
+            sims.append(inter / union)
+        df = df.assign(jaccard=sims)
+        return df[df["jaccard"] >= threshold]
+
+    return pairs_ds.map_batches(verify, batch_format="pandas")
+
+
+def minhash_dedup(docs_ds, docs_df: pd.DataFrame, *, k=5, num_hashes=64, bands=16,
+                  threshold=0.8, concurrency=4):
+    """Full near-dedup: LSH candidates → Jaccard verify → connected
+    components → survivors (min doc_id per cluster) + cluster mapping."""
+    from raydf.canonicalize import canonical_mapping
+
+    pairs = minhash_candidate_pairs(
+        docs_ds, k=k, num_hashes=num_hashes, bands=bands, concurrency=concurrency
+    )
+    verified = jaccard_verify(pairs, docs_df, k=k, threshold=threshold)
+    mapping = canonical_mapping(verified.select_columns(["a", "b"]))
+    dropped = set(mapping["node"])
+    survivors = docs_df[~docs_df["doc_id"].isin(dropped)]
+    return survivors, mapping
+
+
+# ---------------------------------------------------------------- simhash
+
+
+class SimHasher:
+    """Actor-pool stage: 64-bit simhash over token hashes."""
+
+    def __init__(self):
+        import re
+
+        self.tok = re.compile(r"\w+")
+
+    def simhash(self, text: str) -> int:
+        toks = self.tok.findall(text.lower())
+        if not toks:
+            return 0
+        hs = terms.hash64_strings(np.array(toks, dtype=object)).astype(np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        v = np.where(bits.sum(axis=0) * 2 >= len(hs), 1, 0).astype(np.uint64)
+        return int((v << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = np.array(
+            [self.simhash(t) for t in batch[  # per-doc; token hashing vectorized inside
+                "text"
+            ].to_pylist()],
+            dtype=np.uint64,
+        )
+        out = batch.select(["doc_id"]).append_column(
+            "simhash", pa.array(sh.view(np.int64), pa.int64())
+        )
+        return out
+
+
+def simhash_pairs(docs_ds, *, max_hamming: int = 3, concurrency: int = 4):
+    """Near-dup pairs by simhash: bucket on 4×16-bit sub-bands (pigeonhole:
+    hamming ≤ 3 ⇒ one identical sub-band), verify Hamming in-bucket."""
+    sigs = docs_ds.map_batches(
+        SimHasher, batch_format="pyarrow", batch_size=1024, concurrency=concurrency
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bands, keys, dids, sims = [], [], [], []
+        for b in range(4):
+            bands.append(np.full(len(h), b, dtype=np.int32))
+            keys.append(((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            dids.append(ids)
+            sims.append(h.view(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands), pa.int32()),
+                "key": pa.array(np.concatenate(keys), pa.int64()),
+                "doc_id": pa.array(np.concatenate(dids), pa.int64()),
+                "simhash": pa.array(np.concatenate(sims), pa.int64()),
+            }
+        )
+
+    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(df) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(np.int64)
+        ids = df["doc_id"].to_numpy()[:200]
+        hs = df["simhash"].to_numpy().view(np.uint64)[:200]
+        ai, bi = np.triu_indices(len(ids), k=1)
+        x = hs[ai] ^ hs[bi]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        keep = ham <= 3
+        return pd.DataFrame(
+            {"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]}
+        )
+
+    pairs = sigs.map_batches(explode, batch_format="pyarrow").groupby(
+        ["band", "key"]
+    ).map_groups(pairs_of_group, batch_format="pandas")
+    return distinct(pairs, ["a", "b"])
+
+
+# --------------------------------------------------------- ngram jaccard
+
+
+def ngram_jaccard_pairs(docs_df: pd.DataFrame, *, k=5, threshold=0.8) -> pd.DataFrame:
+    """Exact pairwise n-gram Jaccard (driver-side; the verifier kernel —
+    use minhash_dedup for anything beyond a few thousand docs)."""
+    ids = docs_df["doc_id"].tolist()
+    sh = [_shingles(t, k) for t in docs_df["text"]]
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sh[i] & sh[j])
+            union = len(sh[i] | sh[j]) or 1
+            jac = inter / union
+            if jac >= threshold:
+                rows.append((ids[i], ids[j], jac))
+    return pd.DataFrame(rows, columns=["a", "b", "jaccard"])

@@ -1,0 +1,147 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool stages.
+
+The decode kernels themselves are STUBS — the image/audio codec libraries
+are not in this container — but the Ray-side plumbing is real and tested:
+schemas, small-batch actor-pool stages (large binary payloads → small
+``batch_size`` so batch × concurrency fits worker heaps), deterministic
+fake feature extraction standing in for a model, and the output layout.
+Swap ``_decode_stub`` for a real decoder (PIL/torchaudio/pyav) to go live.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("kind", pa.string()),  # image | audio | video
+        pa.field("payload", pa.large_binary()),
+        pa.field("mime", pa.string()),
+        pa.field("width", pa.int32(), nullable=True),
+        pa.field("height", pa.int32(), nullable=True),
+        pa.field("duration_ms", pa.int32(), nullable=True),
+    ]
+)
+
+
+def synthetic_media_table(n: int, *, kind: str = "image") -> pa.Table:
+    """Deterministic fake payloads (hash-derived bytes) for plumbing tests."""
+    ids = np.arange(n, dtype=np.int64)
+    payloads = [hashlib.sha256(f"{kind}-{i}".encode()).digest() * 32 for i in ids]
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array([kind] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array([f"{kind}/x-fake"] * n, pa.string()),
+            "width": pa.array([64] * n, pa.int32()),
+            "height": pa.array([64] * n, pa.int32()),
+            "duration_ms": pa.nulls(n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def _decode_stub(payload: bytes, mime: str) -> np.ndarray:
+    """STUB decoder. Real codecs are not installed in this container.
+
+    Raises NotImplementedError for real mime types; fake payloads decode
+    to a deterministic pseudo-pixel array so the pipeline is testable."""
+    if not mime.endswith("/x-fake"):
+        raise NotImplementedError(
+            f"no codec for {mime}: install PIL/torchaudio/pyav and replace _decode_stub"
+        )
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    side = int(np.sqrt(len(raw)))
+    return raw[: side * side].reshape(side, side)
+
+
+class MediaFeaturizer:
+    """Actor-pool stage: decode → feature-extract (64-dim signature).
+
+    __init__ is where a real model would load (once per actor); __call__
+    handles a small batch of large binary rows."""
+
+    def __init__(self, *, feature_dim: int = 64):
+        self.dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, ok, err = [], [], []
+        for payload, mime in zip(
+            batch["payload"].to_pylist(), batch["mime"].to_pylist()
+        ):
+            try:
+                px = _decode_stub(payload, mime)
+                hist, _ = np.histogram(px, bins=self.dim, range=(0, 255))
+                v = hist.astype(np.float32)
+                v /= np.linalg.norm(v) or 1.0
+                feats.append(v.tolist())
+                ok.append(True)
+                err.append(None)
+            except NotImplementedError as e:
+                feats.append([0.0] * self.dim)
+                ok.append(False)
+                err.append(str(e))
+        out = batch.select(["media_id", "kind"])
+        out = out.append_column(
+            "features", pa.array(feats, pa.list_(pa.float32(), self.dim))
+        )
+        out = out.append_column("decoded", pa.array(ok, pa.bool_()))
+        out = out.append_column("decode_error", pa.array(err, pa.string()))
+        return out
+
+
+class ImageResizer:
+    """Actor-pool stage: resize stub (nearest-neighbor on fake pixels)."""
+
+    def __init__(self, *, size: int = 32):
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for payload, mime in zip(
+            batch["payload"].to_pylist(), batch["mime"].to_pylist()
+        ):
+            px = _decode_stub(payload, mime)
+            idx = (np.linspace(0, px.shape[0] - 1, self.size)).astype(int)
+            outs.append(px[np.ix_(idx, idx)].tobytes())
+        out = batch.select(["media_id"])
+        out = out.append_column("resized", pa.array(outs, pa.large_binary()))
+        out = out.append_column(
+            "size", pa.array([self.size] * len(outs), pa.int32())
+        )
+        return out
+
+
+def frame_sample_stub(batch: pa.Table, *, every_ms: int = 1000) -> pa.Table:
+    """Video frame-sampling plumbing: one output row per sampled frame.
+
+    Frame extraction itself is stubbed (duration-driven row explosion)."""
+    ids, frame_idx = [], []
+    for mid, dur in zip(batch["media_id"].to_pylist(), batch["duration_ms"].to_pylist()):
+        n = max(1, (dur or 0) // every_ms)
+        ids.extend([mid] * n)
+        frame_idx.extend(range(n))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "frame": pa.array(frame_idx, pa.int32()),
+        }
+    )
+
+
+def featurize(media_ds, *, concurrency: int = 2, batch_size: int = 64):
+    """Small batches: payload bytes × batch_size × concurrency must fit the
+    worker heap (the binary-column sizing rule)."""
+    return media_ds.map_batches(
+        MediaFeaturizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

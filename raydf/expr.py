@@ -288,10 +288,8 @@ def prep_terms_df(terms_df: pd.DataFrame) -> pd.DataFrame:
     marked ambiguous (kind=255 → AmbiguousLiteral at eval,
     comparable.rs refine semantics)."""
     lit = terms_df[terms_df["kind"] == KIND_LITERAL]
-    dup_ids = lit.groupby("term_id").apply(
-        lambda g: g[["lexical", "datatype"]].drop_duplicates().shape[0] > 1
-    )
-    ambiguous = set(dup_ids[dup_ids].index) if len(dup_ids) else set()
+    distinct = lit.drop_duplicates(["term_id", "lexical", "datatype"])
+    ambiguous = set(distinct.loc[distinct["term_id"].duplicated(), "term_id"])
     out = terms_df.drop_duplicates("term_id").copy()
     if ambiguous:
         out.loc[out["term_id"].isin(ambiguous), "kind"] = _AMBIGUOUS_KIND

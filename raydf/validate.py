@@ -203,10 +203,18 @@ def validate_system(
         if first_only:
             head = v.limit(1).to_pandas()
             if len(head):
-                return {"ok": False, "violations": pa.Table.from_pandas(head)}
+                return {
+                    "ok": False,
+                    "violations": pa.Table.from_pandas(
+                        head, schema=VIOLATIONS_SCHEMA, preserve_index=False
+                    ),
+                }
         else:
-            t = pa.Table.from_pandas(v.to_pandas(), schema=VIOLATIONS_SCHEMA)
-            tables.append(t)
+            df = v.to_pandas()
+            if len(df):
+                tables.append(
+                    pa.Table.from_pandas(df, schema=VIOLATIONS_SCHEMA, preserve_index=False)
+                )
     if first_only:
         return {"ok": True, "violations": VIOLATIONS_SCHEMA.empty_table()}
     all_v = (

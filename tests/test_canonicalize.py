@@ -1,0 +1,71 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from raydf import rules as R
+from raydf.canonicalize import (
+    canonical_mapping,
+    canonical_mapping_distributed,
+    canonical_mapping_driver,
+    remap_triples,
+)
+from raydf.deduce import FixpointEngine
+from raydf.fixtures import triples_from_terms
+
+
+def test_union_find_min_representative():
+    pairs = pd.DataFrame({"a": [5, 3, 9, 20], "b": [3, 1, 5, 21]})
+    m = canonical_mapping_driver(pairs)
+    d = dict(zip(m["node"], m["canon"]))
+    # {5,3,1,9} merge to 1; {20,21} to 20
+    assert d[5] == d[3] == d[9] == 1
+    assert d[21] == 20
+    assert 1 not in d  # representative maps to itself → not in mapping
+
+
+def test_distributed_matches_driver():
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 60, 80)
+    b = rng.integers(0, 60, 80)
+    pairs = pd.DataFrame({"a": a, "b": b})
+    m1 = canonical_mapping_driver(pairs)
+    m2 = canonical_mapping_distributed(rd.from_pandas(pairs))
+    d1 = dict(zip(m1["node"], m1["canon"]))
+    d2 = dict(zip(m2["node"].astype(int), m2["canon"].astype(int)))
+    assert d1 == d2
+
+
+def test_eq_rule_drives_merge_and_remap(tmp_workdir):
+    SAME = "https://example.org/#sameAs"
+    P = "https://example.org/#p"
+    a, b, c = R.iri("a"), R.iri("b"), R.iri("c")
+    triples, _ = triples_from_terms(
+        [(a, R.iri(SAME), b), (a, R.iri(P), c), (b, R.iri(P), c)]
+    )
+    system = R.System()
+    system.insert(
+        R.rule(
+            2,
+            [R.pat(R.v(0), R.iri(SAME), R.v(1))],
+            [R.eq_st(R.v(0), R.v(1))],
+            name="same",
+        )
+    )
+    eng = FixpointEngine(system, tmp_workdir, buckets=4, num_partitions=4)
+    eng.load_initial(rd.from_arrow(triples))
+    eng.run(max_rounds=5)
+    eqs = eng.eq_pairs()
+    assert eqs is not None and eqs.count() == 1
+    mapping = canonical_mapping(eqs)
+    assert len(mapping) == 1
+    canon = min(a.id, b.id)
+    other = max(a.id, b.id)
+    assert dict(zip(mapping["node"], mapping["canon"]))[other] == canon
+
+    remapped = remap_triples(eng.dataset(), mapping).to_pandas()
+    ids = set(remapped["subj"]) | set(remapped["obj"])
+    assert other not in ids
+    # (a p c) and (b p c) collapse to one triple after canonical dedup
+    spo = remapped[remapped["pred"] == R.iri(P).id][["subj", "obj"]]
+    assert len(spo.drop_duplicates()) == 1
