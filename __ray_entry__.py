@@ -228,7 +228,9 @@ def _q_window_tumbling(sf_dir: str):
 
     def prep(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["window"] = (df["ts"] // 3600).astype(np.int64)
+        # ts is timestamp[us]; window = floor(epoch seconds) // 3600
+        epoch_s = df["ts"].astype("int64") // 10**6
+        df["window"] = (epoch_s // 3600).astype(np.int64)
         df["value_c"] = np.rint(df["value"] * 100).astype(np.int64)
         return pa.Table.from_pandas(
             df[["user_id", "window", "value_c"]], preserve_index=False
@@ -642,8 +644,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
-                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+                   CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                    COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -654,7 +656,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
         """,
         "q_revenue_by_nation": """
-            SELECT n_name, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS revenue_cents
+            SELECT n_name, CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -667,9 +669,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id FROM events WHERE event_type = 'click' AND value > 50.0
         """,
         "q_window_tumbling": """
-            SELECT user_id, ts / 3600 AS window, COUNT(*) AS n_events,
-                   SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_cents
-            FROM events GROUP BY user_id, ts / 3600
+            SELECT user_id,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS window,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events
+            GROUP BY user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600
         """,
         "q_orders_priority": """
             SELECT o_orderpriority, COUNT(*) AS n FROM orders

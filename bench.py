@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Benchmark driver for the raydf engine.
+
+Default mode: runs the headline KG-construction pipeline
+(extract → deduce-to-fixpoint → canonicalize → materialize, BASELINE.json
+north_star) plus the per-operator query suite over ``$GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32), and
+prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, "triples": N, "triples_per_sec": N}
+
+``--scaling`` runs the headline pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency (BASELINE.json north_rule's two-
+cluster-size criterion, evidenced via two parallelism levels in this
+single-node sandbox).
+
+``--headline-only`` (internal, used by --scaling subprocesses) skips the
+query suite.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf_tag(sf_dir: str) -> float | str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return base
+
+
+def run_headline(sf_dir: str, workdir: str) -> dict:
+    """Full flagship pipeline; returns {seconds, triples, triples_per_sec}."""
+    import __ray_entry__ as e
+    from raydf.pipeline import kg_pipeline
+
+    if os.path.exists(workdir):
+        shutil.rmtree(workdir)
+    src = e._source_code_from_documents(sf_dir)
+    t0 = time.time()
+    metrics = kg_pipeline(
+        src,
+        workdir,
+        buckets=16,
+        num_partitions=16,
+        max_rounds=10,
+        max_generations=2,
+    )
+    dt = time.time() - t0
+    triples = int(metrics["triples"])
+    return {
+        "seconds": dt,
+        "triples": triples,
+        "triples_per_sec": triples / dt if dt > 0 else 0.0,
+    }
+
+
+_BENCH_QUERIES = [
+    # representative per-operator-family subset of __ray_entry__.queries()
+    "q1_pricing_summary",
+    "q_top_orders",
+    "q_revenue_by_nation",
+    "q_window_tumbling",
+    "kg_extract_structural",
+    "kg_transitive_contains",
+    "kg_eq_canonicalize",
+    "dedup_exact_docs",
+    "minhash_dedup_docs",
+    "ann_topk",
+    "lang_id_docs",
+    "text_token_count",
+]
+
+
+def _consume(result) -> int:
+    """Force execution; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, (pd.DataFrame, pa.Table)):
+        return len(result)
+    return result.count()  # ray.data.Dataset — triggers full execution
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    out: dict[str, float] = {}
+    for name in _BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        _consume(fn(sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def single_run(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            log_to_driver=False,
+        )
+    workdir = f"/tmp/raydf_bench/headline_cpus{num_cpus}"
+    head = run_headline(sf_dir, workdir)
+    queries = {} if headline_only else run_queries(sf_dir)
+    ray.shutdown()
+    total = head["seconds"] + sum(queries.values())
+    return {
+        "metric": (
+            "triples/sec end-to-end (extract→deduce→canonicalize→materialize)"
+        ),
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"headline_kg_pipeline": round(head["seconds"], 3), **queries},
+        "sf": _sf_tag(sf_dir),
+        "num_cpus": num_cpus,
+        "triples": head["triples"],
+        "triples_per_sec": round(head["triples_per_sec"], 1),
+    }
+
+
+def scaling_run(sf_dir: str, low: int, high: int) -> dict:
+    """Same headline job at two parallelism levels, fresh process each."""
+    results = {}
+    for cpus in (low, high):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    tl, th = results[low], results[high]
+    # efficiency = (throughput_high / throughput_low) / (high/low)
+    speedup = tl["queries"]["headline_kg_pipeline"] / th["queries"][
+        "headline_kg_pipeline"
+    ]
+    eff = speedup / (high / low)
+    return {
+        "metric": "scaling efficiency, headline pipeline, "
+        f"num_cpus {low} → {high} (N vs 4N stand-in)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            f"headline_cpus{low}": tl["queries"]["headline_kg_pipeline"],
+            f"headline_cpus{high}": th["queries"]["headline_kg_pipeline"],
+        },
+        "sf": _sf_tag(sf_dir),
+        "num_cpus": high,
+        "throughput_low_tps": tl["triples_per_sec"],
+        "throughput_high_tps": th["triples_per_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if args.scaling:
+        out = scaling_run(args.sf_dir, args.low, args.high)
+    else:
+        out = single_run(args.sf_dir, num_cpus, args.headline_only)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -174,24 +174,41 @@ def canonical_mapping(eq_ds_or_df) -> pd.DataFrame:
 
 
 def make_remapper(mapping: pd.DataFrame, cols=("subj", "pred", "obj")):
-    """Vectorized broadcast remap of id columns via sorted-key searchsorted."""
+    """Vectorized broadcast remap of id columns via sorted-key searchsorted.
+
+    pyarrow-native: only the id columns are replaced; every other column
+    (incl. nested list lineage columns) passes through zero-copy. Works on
+    both pa.Table and pandas batches. The mapping is ``ray.put`` ONCE and
+    read by every task — broadcast, not re-shipped per batch."""
     import ray
 
-    keys = np.sort(mapping["node"].to_numpy(np.int64))
     order = np.argsort(mapping["node"].to_numpy(np.int64))
+    keys = mapping["node"].to_numpy(np.int64)[order]
     vals = mapping["canon"].to_numpy(np.int64)[order]
     ref = ray.put((keys, vals))
     cols = list(cols)
 
-    def _remap(df: pd.DataFrame) -> pd.DataFrame:
+    def _remap_array(arr: np.ndarray, k: np.ndarray, v: np.ndarray) -> np.ndarray:
+        if len(k) == 0:
+            return arr
+        pos = np.searchsorted(k, arr)
+        pos_c = np.clip(pos, 0, len(k) - 1)
+        hit = k[pos_c] == arr
+        return np.where(hit, v[pos_c], arr)
+
+    def _remap(batch):
         k, v = ray.get(ref)
+        if isinstance(batch, pa.Table):
+            for c in cols:
+                i = batch.schema.get_field_index(c)
+                arr = batch[c].to_numpy(zero_copy_only=False)
+                batch = batch.set_column(
+                    i, batch.schema.field(i), pa.array(_remap_array(arr, k, v), pa.int64())
+                )
+            return batch
         for c in cols:
-            arr = df[c].to_numpy(np.int64)
-            pos = np.searchsorted(k, arr)
-            pos_c = np.clip(pos, 0, len(k) - 1)
-            hit = (len(k) > 0) & (k[pos_c] == arr) if len(k) else np.zeros(len(arr), bool)
-            df[c] = np.where(hit, v[pos_c], arr)
-        return df
+            batch[c] = _remap_array(batch[c].to_numpy(np.int64), k, v)
+        return batch
 
     return _remap
 
@@ -199,7 +216,7 @@ def make_remapper(mapping: pd.DataFrame, cols=("subj", "pred", "obj")):
 def remap_triples(triples_ds, mapping: pd.DataFrame):
     if len(mapping) == 0:
         return triples_ds
-    return triples_ds.map_batches(make_remapper(mapping), batch_format="pandas")
+    return triples_ds.map_batches(make_remapper(mapping), batch_format="pyarrow")
 
 
 def remap_terms(terms_ds, mapping: pd.DataFrame):

@@ -40,17 +40,21 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def cosine_topk(embeddings_ds, query: np.ndarray, *, k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
-    """Exact top-k by cosine similarity to ``query`` (1-D float vector)."""
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dtype=np.float32) -> pd.DataFrame:
+    """Exact top-k by cosine similarity to ``query`` (1-D float vector).
+
+    ``dtype=np.float64`` when scores must match a double-precision oracle
+    (e.g. DuckDB ``list_cosine_similarity``) bit-for-bit at 1e-6 scale."""
     import ray
 
-    q = np.asarray(query, dtype=np.float32)
+    q = np.asarray(query, dtype=dtype)
     q = q / (np.linalg.norm(q) or 1.0)
     qref = ray.put(q)
 
     def block_topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(qref)
-        m = _normalize(_vec_matrix(batch, vec_col))
+        m = _normalize(_vec_matrix(batch, vec_col).astype(dtype))
         sims = m @ qv
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         take = min(k, len(sims))

@@ -283,10 +283,14 @@ class FixpointEngine:
         return out
 
     def dataset(self):
+        """Logical triple view of the checkpoint — pruned to TRIPLES_SCHEMA
+        columns (the physical files also carry the dedup hash ``h`` and the
+        hive partition col ``bucket``, which must NOT leak to consumers:
+        a remapped generation feeds this back through ``load_initial``)."""
         files = self.triple_files()
         if not files:
             return rd.from_arrow(TRIPLES_SCHEMA.empty_table())
-        return rd.read_parquet(files)
+        return rd.read_parquet(files, columns=list(TRIPLES_SCHEMA.names))
 
     def count(self) -> int:
         return sum(r["new_triples"] for r in self.manifest()["rounds"])

@@ -37,6 +37,7 @@ from raydf.schema import (
     KG_CONTAINS,
     KG_DEFINES,
     KG_IMPORTS,
+    KG_SAME_AS,
     KG_WRITTEN_IN,
     KIND_IRI,
     KIND_LITERAL,
@@ -248,19 +249,92 @@ class MentionExtractor:
         )
 
 
-def extract_wide(source_ds, *, mention_concurrency: int | None = None, batch_size: int = 2048):
-    """source_code Dataset → wide lexical triples Dataset (structural ∪ mentions)."""
-    structural = source_ds.map_batches(
-        extract_structural, batch_format="pyarrow", batch_size=batch_size
-    )
-    # callable class → actor pool; compiled regexes live once per actor
-    mentions = source_ds.map_batches(
-        MentionExtractor,
+class EntityLinkScorer:
+    """Entity linker (north_star "entity-link scorer" stage): proposes
+    ``module:X sameAs file:F`` links from ``declaresModule`` triples.
+    Score = string similarity between module name and file stem
+    (difflib.SequenceMatcher, computed once per unique pair per batch);
+    links above ``threshold`` become sameAs triples feeding the
+    ``sameAs ⇒ Eq`` rule and union-find canonicalization."""
+
+    def __init__(self, threshold: float = 0.9):
+        import difflib
+
+        self.threshold = threshold
+        self._ratio = lambda a, b: difflib.SequenceMatcher(None, a, b).ratio()
+
+    def __call__(self, wide_batch: pa.Table) -> pa.Table:
+        df = wide_batch.to_pandas()
+        df = df[df["p_lex"] == KG_DECLARES_MODULE]
+        if len(df) == 0:
+            return WIDE_SCHEMA.empty_table()
+        mod_name = df["o_lex"].str.removeprefix("module:")
+        stem = df["s_lex"].str.rpartition("/")[2].str.rpartition(".")[0]
+        uniq = {(m, s): self._ratio(m, s) for m, s in set(zip(mod_name, stem))}
+        score = pd.Series(
+            [uniq[(m, s)] for m, s in zip(mod_name, stem)], index=df.index
+        )
+        keep = df[score >= self.threshold]
+        n = len(keep)
+        return _wide_table(
+            {
+                "s_kind": [KIND_IRI] * n,
+                "s_lex": keep["o_lex"].tolist(),
+                "p_kind": [KIND_IRI] * n,
+                "p_lex": [KG_SAME_AS] * n,
+                "o_kind": [KIND_IRI] * n,
+                "o_lex": keep["s_lex"].tolist(),
+                "o_dt": [None] * n,
+                "sha": keep["content_sha256"].tolist(),
+            }
+        )
+
+
+class SourceExtractor:
+    """One-pass actor-pool extractor: structural ∪ mention ∪ entity-link
+    triples from a single scan of ``content``.
+
+    At 100 TB the scan dominates; fanning structural / mention / link
+    extraction out as separate Dataset branches would re-read the source
+    once per branch (and a self-referencing union deadlocks actor-pool
+    scheduling on small clusters). One callable class per actor: regexes
+    compiled once in ``__init__``, three extractors share each decoded
+    batch."""
+
+    def __init__(self, *, link_threshold: float | None = 0.9):
+        self.mentions = MentionExtractor()
+        self.scorer = (
+            EntityLinkScorer(link_threshold) if link_threshold is not None else None
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        structural = extract_structural(batch)
+        parts = [structural, self.mentions(batch)]
+        if self.scorer is not None:
+            parts.append(self.scorer(structural))
+        return pa.concat_tables(parts)
+
+
+def extract_wide(
+    source_ds,
+    *,
+    mention_concurrency: int | None = None,
+    batch_size: int = 2048,
+    link_threshold: float | None = None,
+):
+    """source_code Dataset → wide lexical triples Dataset (one-pass).
+
+    ``concurrency=(1, N)`` lets the actor pool shrink to what the input
+    and cluster actually support instead of deadlocking on reserved CPUs.
+    """
+    n = mention_concurrency or 4
+    return source_ds.map_batches(
+        SourceExtractor,
+        fn_constructor_kwargs={"link_threshold": link_threshold},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=mention_concurrency or 4,
+        concurrency=(1, n),
     )
-    return structural.union(mentions)
 
 
 # ------------------------------------------------------------- interning

@@ -18,7 +18,6 @@ summary in METRICS.json.
 
 from __future__ import annotations
 
-import difflib
 import glob
 import json
 import os
@@ -33,7 +32,6 @@ from raydf import rules as R
 from raydf.canonicalize import canonical_mapping, remap_terms, remap_triples
 from raydf.deduce import FixpointEngine
 from raydf.extract import (
-    WIDE_SCHEMA,
     extract_wide,
     intern_wide_batch,
     terms_delta_batch,
@@ -48,10 +46,8 @@ from raydf.schema import (
     KG_SAME_AS,
     KG_SOURCE_FILE,
     KG_WRITTEN_IN,
-    KIND_IRI,
     RDF_TYPE,
 )
-from raydf.extract import KG_DECLARES_MODULE
 
 
 def default_system() -> R.System:
@@ -107,55 +103,6 @@ def default_system() -> R.System:
     return sys_
 
 
-class EntityLinkScorer:
-    """Actor-pool entity linker (north_star "entity-link scorer" stage).
-
-    Proposes ``module:X sameAs file:F`` links from ``declaresModule``
-    edges: score = string similarity between the module name and the
-    file stem (SequenceMatcher, computed once per unique pair per batch);
-    links above ``threshold`` become sameAs triples feeding the
-    ``sameAs ⇒ Eq`` rule and thus union-find canonicalization.
-    """
-
-    def __init__(self, threshold: float = 0.9):
-        self.threshold = threshold
-
-    def _score(self, module: str, stem: str) -> float:
-        return difflib.SequenceMatcher(None, module, stem).ratio()
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df[df["p_lex"] == KG_DECLARES_MODULE]
-        if len(df) == 0:
-            return WIDE_SCHEMA.empty_table()
-        mod_name = df["o_lex"].str.removeprefix("module:")
-        stem = df["s_lex"].str.rpartition("/")[2].str.rpartition(".")[0]
-        uniq = {
-            (m, s): self._score(m, s) for m, s in set(zip(mod_name, stem))
-        }
-        score = pd.Series(
-            [uniq[(m, s)] for m, s in zip(mod_name, stem)], index=df.index
-        )
-        keep = df[score >= self.threshold]
-        n = len(keep)
-        return pa.table(
-            {
-                "s_kind": pa.array([KIND_IRI] * n, pa.uint8()),
-                "s_lex": pa.array(keep["o_lex"].tolist(), pa.large_string()),
-                "s_dt": pa.nulls(n, pa.large_string()),
-                "p_kind": pa.array([KIND_IRI] * n, pa.uint8()),
-                "p_lex": pa.array([KG_SAME_AS] * n, pa.large_string()),
-                "p_dt": pa.nulls(n, pa.large_string()),
-                "o_kind": pa.array([KIND_IRI] * n, pa.uint8()),
-                "o_lex": pa.array(keep["s_lex"].tolist(), pa.large_string()),
-                "o_dt": pa.nulls(n, pa.large_string()),
-                "sign": pa.array([True] * n, pa.bool_()),
-                "content_sha256": pa.array(keep["content_sha256"].tolist(), pa.string()),
-            },
-            schema=WIDE_SCHEMA,
-        )
-
-
 def _stage_done(d: str) -> bool:
     return os.path.exists(os.path.join(d, "_DONE"))
 
@@ -198,13 +145,13 @@ def kg_pipeline(
     extracted = os.path.join(workdir, "extracted")
     t0 = time.time()
     if not _stage_done(extracted):
-        wide = extract_wide(source_ds, mention_concurrency=mention_concurrency)
-        if link_entities:
-            links = wide.map_batches(
-                EntityLinkScorer, batch_format="pyarrow", batch_size=4096,
-                concurrency=mention_concurrency or 2,
-            )
-            wide = wide.union(links)
+        # single one-pass actor-pool stage (structural ∪ mentions ∪ links):
+        # content scanned once; no self-referencing union branches
+        wide = extract_wide(
+            source_ds,
+            mention_concurrency=mention_concurrency,
+            link_threshold=0.9 if link_entities else None,
+        )
         wide.write_parquet(extracted, mode="overwrite")
         _mark_done(extracted)
     metrics["stages"]["extract"] = time.time() - t0
