@@ -365,6 +365,24 @@ class FixpointEngine:
             return expr_mod.resolve_vars(bindings, sorted(need), self.terms_df).materialize()
         return bindings
 
+    # binding-laziness policy: "all" = every rule's bindings distinct+
+    # materialized; "multi" = only multi-pattern / Eq / True rules;
+    # "none" = only Eq/True rules (triple rules fully lazy).
+    # A/B at sf0.01 (3 reps, one Ray session): "all" 21-31s, "multi"
+    # 28-37s, "none" 35-62s — materializing each rule's distinct bindings
+    # beats fusing lazy pipelines (probe-side scans re-execute per
+    # consumer inside the fused job).
+    dedup_policy = "all"
+
+    def _needs_dedup(self, rule: Rule) -> bool:
+        if any(s.kind != "triple" for s in rule.conclusion.statements):
+            return True
+        if self.dedup_policy == "all":
+            return True
+        if self.dedup_policy == "multi":
+            return len(rule.hypothesis) > 1
+        return False
+
     def run_round(self, round_no: int) -> dict:
         t0 = time.time()
         full = ParquetSource(self.triple_files(hi=round_no - 1))
@@ -375,13 +393,25 @@ class FixpointEngine:
         cand_parts, eq_parts, true_parts = [], [], []
         per_rule = {}
         for rule_idx, rule in enumerate(self.system.rules):
+            # pure-triple rules keep bindings LAZY (duplicates fold into the
+            # bucketed (s,p,o,sign) anti-join) so the whole round's candidate
+            # generation fuses into one streaming execution; Eq/True rules
+            # need distinct bindings (consumers see rows directly)
+            needs_dedup = self._needs_dedup(rule)
             b = rule_bindings(
-                rule, full, delta=delta, old=old, num_partitions=self.num_partitions
+                rule, full, delta=delta, old=old,
+                num_partitions=self.num_partitions, dedup=needs_dedup,
             )
-            if b is None or b.count() == 0:
+            if b is None:
                 per_rule[rule.name or str(rule_idx)] = 0
                 continue
-            per_rule[rule.name or str(rule_idx)] = b.count()
+            if needs_dedup:  # materialized → count is metadata-cheap
+                cnt = b.count()
+                per_rule[rule.name or str(rule_idx)] = cnt
+                if cnt == 0:
+                    continue
+            else:
+                per_rule[rule.name or str(rule_idx)] = None  # lazy: unknown
             b = self._resolved_bindings(rule, b)
             if any(s.kind == "triple" for s in rule.conclusion.statements):
                 cand_parts.append(

@@ -17,20 +17,42 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
 import ray
 
 BROADCAST_ROW_LIMIT = 2_000_000  # above this, broadcasting a side is a smell
 
 
-def distinct(ds, cols: Sequence[str], *, pre_dedup: bool = True):
-    """Distinct rows by ``cols`` (keeps first row per key, arbitrary order)."""
+def distinct(ds, cols: Sequence[str], *, pre_dedup: bool = True, num_partitions: int = 32):
+    """Distinct rows by ``cols`` (keeps first row per key, arbitrary order).
+
+    Hash-partitioned dedup: per-block combiner ``drop_duplicates`` first,
+    then a shuffle on a single derived partition id (``hash(cols) % P``)
+    and ONE vectorized ``drop_duplicates`` per partition-group. Python is
+    invoked P times total — NOT once per distinct key, which is what a
+    naive ``groupby(cols).map_groups(head(1))`` costs (one interpreter
+    call per group; catastrophic when keys are plentiful)."""
     cols = list(cols)
-    if pre_dedup:
-        ds = ds.map_batches(
-            lambda df: df.drop_duplicates(subset=cols), batch_format="pandas"
+    P = num_partitions
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        if pre_dedup:
+            df = df.drop_duplicates(subset=cols)
+        else:
+            df = df.copy()
+        h = pd.util.hash_pandas_object(df[cols], index=False).to_numpy()
+        df["__p"] = (h % np.uint64(P)).astype(np.int64)
+        return df
+
+    return (
+        ds.map_batches(pre, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(
+            lambda d: d.drop_duplicates(subset=cols), batch_format="pandas"
         )
-    return ds.groupby(cols).map_groups(lambda df: df.head(1), batch_format="pandas")
+        .drop_columns(["__p"])
+    )
 
 
 def broadcast_join(big_ds, small_df: pd.DataFrame, on: Sequence[str], *, how: str = "inner"):

@@ -162,12 +162,15 @@ def order_patterns(items: list) -> list:
 
 
 def find_bindings(items: list, *, num_partitions: int = 32):
-    """Enumerate all consistent substitutions for a conjunction of patterns.
+    """Enumerate consistent substitutions for a conjunction of patterns.
 
     items: list of (SignedPattern, TripleSource, priority).
-    Returns a *materialized* Dataset of distinct bindings with one int64
-    column per hypothesis variable, or None when no match is possible.
-    """
+    Returns a LAZY Dataset of bindings (one int64 column per hypothesis
+    variable; may contain duplicates — callers dedup once at the end), or
+    None when no match is possible. Single-pattern conjunctions stay a
+    pure scan+filter pipeline: zero intermediate executions. Multi-pattern
+    cascades materialize only the accumulated side of each join (needed to
+    pick broadcast vs shuffle and to short-circuit empty results)."""
     ordered = order_patterns(items)
     bindings = None
     bound: set[int] = set()
@@ -178,20 +181,22 @@ def find_bindings(items: list, *, num_partitions: int = 32):
             return None
         pvars = sp.pattern.vars
         if bindings is None:
-            bindings = matched.materialize()
+            bindings = matched  # lazy
         else:
+            # the accumulated side must be sized → materialize it now
+            bindings = bindings.materialize()
+            if bindings.count() == 0:
+                return None
             shared = sorted(bound & pvars)
             if shared:
                 keys = [f"v{i}" for i in shared]
-                if bindings.count() == 0:
-                    return None
                 if bindings.count() <= BROADCAST_BINDINGS_LIMIT:
                     small = bindings.to_pandas()
-                    bindings = joins.broadcast_join(matched, small, on=keys).materialize()
+                    bindings = joins.broadcast_join(matched, small, on=keys)
                 else:
                     bindings = joins.hash_join(
                         bindings, matched, on=keys, num_partitions=num_partitions
-                    ).materialize()
+                    )
             else:
                 # cartesian: rare (disconnected hypothesis); keyed cross join
                 left = joins.cross_join_key(bindings)
@@ -199,59 +204,68 @@ def find_bindings(items: list, *, num_partitions: int = 32):
                 if bindings.count() <= BROADCAST_BINDINGS_LIMIT:
                     bindings = joins.broadcast_join(
                         right, left.to_pandas(), on=["__x"]
-                    ).drop_columns(["__x"]).materialize()
+                    ).drop_columns(["__x"])
                 else:
                     bindings = joins.hash_join(
                         left, right, on=["__x"], num_partitions=num_partitions
-                    ).drop_columns(["__x"]).materialize()
+                    ).drop_columns(["__x"])
         bound |= pvars
-        if bindings.count() == 0:
-            return None
 
-    if bindings is None:
-        return None
-    var_cols = sorted(bindings.columns(), key=lambda c: int(c[1:]))
-    bindings = bindings.select_columns(var_cols)
-    return joins.distinct(bindings, var_cols).materialize()
+    return bindings
 
 
 def rule_bindings(rule: Rule, full: TripleSource, *, delta: TripleSource | None = None,
-                  old: TripleSource | None = None, num_partitions: int = 32):
+                  old: TripleSource | None = None, num_partitions: int = 32,
+                  dedup: bool = True):
     """All substitutions for ``rule``'s hypothesis.
+
+    ``dedup=True``: distinct + materialized (one shuffle over the union of
+    the per-decomposition cascades) — required when downstream consumers
+    are sensitive to duplicate bindings (``Eq``/``True`` conclusions,
+    validation reports). ``dedup=False``: the LAZY union — duplicate
+    bindings may remain, correct whenever the consumer dedups anyway
+    (triple conclusions land in the bucketed (s,p,o,sign) anti-join);
+    the entire candidate generation then fuses into the consumer's single
+    streaming execution instead of one shuffle job per rule.
 
     Naive mode (delta=None): every pattern scans ``full``.
 
     Semi-naive mode (SURVEY.md O11, the distributed generalization of the
     reference's ``try_deduce_from_triple`` delta hook,
-    src/system/mod.rs:124-149): returns the union over i of
+    src/system/mod.rs:124-149): union over i of
     ``P_0..P_{i-1}`` over *full*, ``P_i`` over *Δ*, ``P_{i+1}..`` over
-    *old* — each new substitution touches at least one Δ triple and is
-    produced exactly once.
+    *old* — each new substitution touches at least one Δ triple.
     """
     patterns = list(rule.hypothesis)
+    var_cols = [f"v{i}" for i in range(rule.variables)
+                if any(i in sp.pattern.vars for sp in patterns)]
+
+    def _finish(parts):
+        if not parts:
+            return None
+        # normalize column order per part — join order differs across
+        # decompositions and union requires identical schemas
+        parts = [b.select_columns(var_cols) for b in parts]
+        out = parts[0]
+        for b in parts[1:]:
+            out = out.union(b)
+        if not dedup:
+            return out
+        return joins.distinct(out, var_cols, num_partitions=num_partitions).materialize()
+
     if delta is None:
-        items = [(sp, full, 0) for sp in patterns]
-        return find_bindings(items, num_partitions=num_partitions)
+        b = find_bindings([(sp, full, 0) for sp in patterns],
+                          num_partitions=num_partitions)
+        return _finish([b] if b is not None else [])
 
     old = old or EmptySource()
     results = []
     for i in range(len(patterns)):
         items = []
         for j, sp in enumerate(patterns):
-            if j < i:
-                src = full
-            elif j == i:
-                src = delta
-            else:
-                src = old
+            src = full if j < i else (delta if j == i else old)
             items.append((sp, src, 1 if j == i else 0))
         b = find_bindings(items, num_partitions=num_partitions)
         if b is not None:
             results.append(b)
-    if not results:
-        return None
-    out = results[0]
-    for b in results[1:]:
-        out = out.union(b)
-    var_cols = [f"v{i}" for i in range(rule.variables)]
-    return joins.distinct(out, var_cols).materialize()
+    return _finish(results)
