@@ -173,7 +173,8 @@ def canonical_mapping(eq_ds_or_df) -> pd.DataFrame:
     return canonical_mapping_distributed(eq_ds_or_df.select_columns(["a", "b"]))
 
 
-def make_remapper(mapping: pd.DataFrame, cols=("subj", "pred", "obj")):
+def make_remapper(mapping: pd.DataFrame, cols=("subj", "pred", "obj"),
+                  flag_col: str | None = None):
     """Vectorized broadcast remap of id columns via sorted-key searchsorted.
 
     pyarrow-native: only the id columns are replaced; every other column
@@ -198,25 +199,46 @@ def make_remapper(mapping: pd.DataFrame, cols=("subj", "pred", "obj")):
 
     def _remap(batch):
         k, v = ray.get(ref)
+        changed = None
         if isinstance(batch, pa.Table):
+            if flag_col is not None:
+                changed = np.zeros(len(batch), dtype=bool)
             for c in cols:
                 i = batch.schema.get_field_index(c)
                 arr = batch[c].to_numpy(zero_copy_only=False)
+                new = _remap_array(arr, k, v)
+                if changed is not None:
+                    changed |= new != arr
                 batch = batch.set_column(
-                    i, batch.schema.field(i), pa.array(_remap_array(arr, k, v), pa.int64())
+                    i, batch.schema.field(i), pa.array(new, pa.int64())
                 )
+            if changed is not None:
+                batch = batch.append_column(flag_col, pa.array(changed, pa.bool_()))
             return batch
+        if flag_col is not None:
+            changed = np.zeros(len(batch), dtype=bool)
         for c in cols:
-            batch[c] = _remap_array(batch[c].to_numpy(np.int64), k, v)
+            arr = batch[c].to_numpy(np.int64)
+            new = _remap_array(arr, k, v)
+            if changed is not None:
+                changed |= new != arr
+            batch[c] = new
+        if changed is not None:
+            batch[flag_col] = changed
         return batch
 
     return _remap
 
 
-def remap_triples(triples_ds, mapping: pd.DataFrame):
-    if len(mapping) == 0:
+def remap_triples(triples_ds, mapping: pd.DataFrame, *, flag_col: str | None = None):
+    """Remap subj/pred/obj through the canonical mapping; with ``flag_col``
+    each row also gets a bool marking whether any id changed (the Δ seed
+    for incremental re-deduction after a merge)."""
+    if len(mapping) == 0 and flag_col is None:
         return triples_ds
-    return triples_ds.map_batches(make_remapper(mapping), batch_format="pyarrow")
+    return triples_ds.map_batches(
+        make_remapper(mapping, flag_col=flag_col), batch_format="pyarrow"
+    )
 
 
 def remap_terms(terms_ds, mapping: pd.DataFrame):

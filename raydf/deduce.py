@@ -350,12 +350,27 @@ class FixpointEngine:
 
     def load_initial(self, triples_ds) -> int:
         """Round 0: stated facts (Cause::Stated) — dedup + checkpoint."""
+        return self.load_round(triples_ds, 0)
+
+    def load_round(self, triples_ds, round_no: int) -> int:
+        """Checkpoint externally supplied triples as round ``round_no``
+        (deduped against all earlier rounds). Lets a caller seed a
+        semi-naive Δ directly — e.g. the Eq-merge generation loop loads
+        remap-UNCHANGED triples as round 0 and remap-CHANGED ones as
+        round 1, so re-deduction only joins the changed Δ instead of
+        recomputing the whole fixpoint naively (any new substitution must
+        involve ≥1 changed triple; unchanged×unchanged joins were already
+        derived in the previous generation)."""
         m = self.manifest()
-        if any(r["round"] == 0 for r in m["rounds"]):
-            return next(r["new_triples"] for r in m["rounds"] if r["round"] == 0)
+        if any(r["round"] == round_no for r in m["rounds"]):
+            return next(
+                r["new_triples"] for r in m["rounds"] if r["round"] == round_no
+            )
         t0 = time.time()
-        n = self._dedup_and_write(triples_ds, 0)
-        m["rounds"].append({"round": 0, "new_triples": n, "seconds": time.time() - t0})
+        n = self._dedup_and_write(triples_ds, round_no)
+        m["rounds"].append(
+            {"round": round_no, "new_triples": n, "seconds": time.time() - t0}
+        )
         self._save_manifest(m)
         return n
 
@@ -392,7 +407,9 @@ class FixpointEngine:
 
         cand_parts, eq_parts, true_parts = [], [], []
         per_rule = {}
+        per_rule_secs = {}
         for rule_idx, rule in enumerate(self.system.rules):
+            t_rule = time.time()
             # pure-triple rules keep bindings LAZY (duplicates fold into the
             # bucketed (s,p,o,sign) anti-join) so the whole round's candidate
             # generation fuses into one streaming execution; Eq/True rules
@@ -408,6 +425,9 @@ class FixpointEngine:
             if needs_dedup:  # materialized → count is metadata-cheap
                 cnt = b.count()
                 per_rule[rule.name or str(rule_idx)] = cnt
+                per_rule_secs[rule.name or str(rule_idx)] = round(
+                    time.time() - t_rule, 2
+                )
                 if cnt == 0:
                     continue
             else:
@@ -452,6 +472,7 @@ class FixpointEngine:
             "new_triples": new,
             "seconds": time.time() - t0,
             "per_rule_bindings": per_rule,
+            "per_rule_seconds": per_rule_secs,
         }
         m = self.manifest()
         m["rounds"] = [r for r in m["rounds"] if r["round"] != round_no] + [rec]

@@ -186,14 +186,37 @@ def kg_pipeline(
         intern_wide_batch, batch_format="pyarrow"
     )
     total_mapping = pd.DataFrame({"node": [], "canon": []})
+
+    # pre-merge pass: evaluate Eq-concluding rules against the *stated*
+    # triples and canonicalize BEFORE the fixpoint. Entity links are
+    # extracted facts, so in the common case every Eq is already derivable
+    # here and the post-fixpoint generation loop terminates after one
+    # generation instead of re-deducing the whole graph under the merge.
+    # (Eqs that only emerge from derived triples are still caught by the
+    # generation loop below — this is purely an optimization.)
+    pre_mapping = _premerge_mapping(stated := stated.materialize(), system,
+                                    num_partitions=num_partitions)
+    if len(pre_mapping):
+        total_mapping = compose_mappings(total_mapping, pre_mapping)
+        stated = remap_triples(stated, pre_mapping)
+    metrics["premerged_entities"] = int(len(pre_mapping))
     gen = 0
     engine = None
+    unchanged_ds = changed_ds = None
     while gen < max_generations:
         ckpt = os.path.join(workdir, f"gen{gen}")
         engine = FixpointEngine(
             system, ckpt, buckets=buckets, num_partitions=num_partitions
         )
-        engine.load_initial(stated)
+        if gen == 0:
+            engine.load_initial(stated)
+        else:
+            # incremental generation: remap-unchanged triples are the
+            # accumulated store (round 0), remap-changed ones the Δ
+            # (round 1) — re-deduction joins only the Δ; unchanged ×
+            # unchanged substitutions were all derived last generation
+            engine.load_round(unchanged_ds, 0)
+            engine.load_round(changed_ds, 1)
         engine.run(max_rounds=max_rounds)
         eqs = engine.eq_pairs()
         mapping = canonical_mapping(eqs)
@@ -201,10 +224,23 @@ def kg_pipeline(
         if len(mapping) == 0:
             break
         total_mapping = compose_mappings(total_mapping, mapping)
-        stated = remap_triples(engine.dataset(), mapping)
+        remapped = remap_triples(
+            engine.dataset(), mapping, flag_col="__changed"
+        ).materialize()
+
+        def _side(val):
+            def f(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return t.filter(pc.equal(t["__changed"], val)).drop_columns(
+                    ["__changed"]
+                )
+
+            return f
+
+        unchanged_ds = remapped.map_batches(_side(False), batch_format="pyarrow")
+        changed_ds = remapped.map_batches(_side(True), batch_format="pyarrow")
         gen += 1
-    else:
-        pass
     metrics["stages"]["fixpoint"] = time.time() - t0
     metrics["generations"] = gen + 1
     metrics["rounds"] = engine.manifest()["rounds"]
@@ -228,6 +264,37 @@ def kg_pipeline(
     with open(os.path.join(workdir, "METRICS.json"), "w") as f:
         json.dump(metrics, f, indent=1, default=str)
     return metrics
+
+
+def _premerge_mapping(stated_mat, system: R.System, *, num_partitions: int) -> pd.DataFrame:
+    """Union-find mapping from Eq-concluding rules evaluated over the
+    stated triples only (no Call-expression Eq terms — those wait for the
+    generation loop, which resolves literals)."""
+    from raydf.canonicalize import canonical_mapping
+    from raydf.deduce import make_eqs_fn
+    from raydf.match import DatasetSource, rule_bindings
+    from raydf.rules import ConstTerm, Var
+
+    src = DatasetSource(stated_mat)
+    parts = []
+    for idx, rule in enumerate(system.rules):
+        eq_stmts = [s for s in rule.conclusion.statements if s.kind == "eq" and s.sign]
+        if not eq_stmts:
+            continue
+        if not all(
+            isinstance(t, (Var, ConstTerm)) for s in eq_stmts for t in s.eq
+        ):
+            continue
+        b = rule_bindings(rule, src, num_partitions=num_partitions)
+        if b is None or b.count() == 0:
+            continue
+        parts.append(b.map_batches(make_eqs_fn(rule, idx, 0), batch_format="pandas"))
+    if not parts:
+        return pd.DataFrame({"node": [], "canon": []})
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return canonical_mapping(out)
 
 
 def R_const_terms_table(system: R.System) -> pa.Table:
