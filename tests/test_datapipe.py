@@ -1,0 +1,228 @@
+"""Training-data operator tests: dedup (exact / MinHash-LSH / SimHash /
+n-gram Jaccard), similarity search (brute-force cosine, LSH near-dup, IVF),
+text analysis, and multimodal plumbing (SURVEY.md §2 additions)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raydf.datapipe import ann, dedup, multimodal, text
+
+
+def docs_table(texts: list[str]) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to find some food for the long cold winter"
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs():
+    """10 unique docs + 2 planted near-dup clusters (edit of BASE)."""
+    uniques = [
+        f"document {i} covers topic {i} entirely: "
+        + " ".join(f"word{i}x{j} token{j}y{i}" for j in range(25))
+        for i in range(10)
+    ]
+    cluster1 = [BASE, BASE.replace("winter", "summer")]       # near-dups of each other
+    cluster2 = [BASE.upper(), BASE.upper().replace("FOX", "CAT")]
+    return docs_table(uniques + cluster1 + cluster2)
+
+
+def test_exact_dedup_keeps_min_id():
+    texts = ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"]
+    out = dedup.exact_dedup(rd.from_arrow(docs_table(texts))).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 3]
+    assert sorted(out["text"]) == ["aaa", "bbb", "ccc"]
+
+
+def test_minhash_finds_planted_neardups(near_dup_docs):
+    docs_df = near_dup_docs.to_pandas()
+    survivors, mapping = dedup.minhash_dedup(
+        rd.from_arrow(near_dup_docs), docs_df, threshold=0.7
+    )
+    # shingling lowercases, so doc 12 (= BASE uppercased) joins cluster1 and
+    # the two planted clusters merge into one; min-id 10 survives it
+    dropped = set(mapping["node"])
+    assert dropped == {11, 12, 13}
+    assert set(survivors["doc_id"]) == set(range(11))
+
+
+def test_minhash_jaccard_estimate_unbiased():
+    """Signature agreement rate ≈ true Jaccard for a known pair."""
+    a, b = BASE, BASE.replace("winter", "summer")
+    mh = dedup.MinHasher(k=5, num_hashes=256, bands=32)
+    sig = mh.signatures([a, b])
+    est = float((sig[0] == sig[1]).mean())
+    sa, sb = dedup._shingles(a, 5), dedup._shingles(b, 5)
+    true = len(sa & sb) / len(sa | sb)
+    assert abs(est - true) < 0.12
+
+
+def test_simhash_pairs_planted():
+    """SimHash catches single-token edits in long docs (hamming ≤ 3); a
+    short doc with an 8-bit-flip edit is correctly excluded."""
+    long = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(200))
+    texts = [
+        long,                                  # 0
+        long.replace("alpha5", "delta5"),      # 1: hamming 2 from 0
+        BASE,                                  # 2
+        BASE.replace("winter", "summer"),      # 3: hamming ~8 from 2
+        "a completely different tiny note",    # 4
+    ]
+    pairs = dedup.simhash_pairs(rd.from_arrow(docs_table(texts))).to_pandas()
+    got = {tuple(r) for r in pairs[["a", "b"]].to_numpy()}
+    assert (0, 1) in got
+    assert (2, 3) not in got and not any(4 in p for p in got)
+
+
+def test_ngram_jaccard_pairs(near_dup_docs):
+    df = near_dup_docs.to_pandas()
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.7)
+    got = {tuple(r) for r in out[["a", "b"]].to_numpy()}
+    # shingling lowercases, so the two clusters merge into one quad
+    assert {(10, 11), (12, 13), (10, 12)} <= got
+    assert all(j >= 0.7 for j in out["jaccard"])
+
+
+# ------------------------------------------------------------------- ann
+
+
+def embeddings_table(n: int, dim: int, planted: list[tuple[int, int]] = ()):
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    for a, b in planted:  # make b a near-copy of a
+        m[b] = m[a] + 0.01 * rng.standard_normal(dim).astype(np.float32)
+    return (
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "embedding": pa.array(m.tolist(), pa.list_(pa.float32(), dim)),
+            }
+        ),
+        m,
+    )
+
+
+def test_cosine_topk_matches_bruteforce():
+    tbl, m = embeddings_table(300, 16)
+    q = m[5]
+    out = ann.cosine_topk(rd.from_arrow(tbl), q, k=7)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ (q / np.linalg.norm(q))
+    expected = set(np.argsort(-sims)[:7].tolist())
+    assert set(out["vec_id"]) == expected
+    assert out["vec_id"].iloc[0] == 5  # self is most similar
+
+
+def test_embedding_neardup_planted():
+    tbl, _ = embeddings_table(200, 32, planted=[(3, 77), (10, 150)])
+    pairs = ann.embedding_neardup_pairs(rd.from_arrow(tbl), 32, threshold=0.95).to_pandas()
+    got = {tuple(r) for r in pairs[["a", "b"]].to_numpy()}
+    assert {(3, 77), (10, 150)} <= got
+    # random 32-dim vectors essentially never reach cosine 0.95
+    assert len(got) <= 4
+
+
+def test_ivf_search_finds_planted_neighbor():
+    tbl, m = embeddings_table(400, 16, planted=[(2, 311)])
+    indexed = ann.ivf_index(rd.from_arrow(tbl), 16, n_centroids=8)
+    out = ann.ivf_search(indexed, m[2], k=3, nprobe=3, n_centroids=8)
+    assert {2, 311} <= set(out["vec_id"])
+
+
+# ------------------------------------------------------------------ text
+
+
+def test_token_stats_and_fingerprint_golden():
+    tbl = docs_table(["Hello world, hello!", "one two  three"])
+    ts = rd.from_arrow(tbl).map_batches(text.token_stats, batch_format="pyarrow").to_pandas()
+    assert ts["n_tokens"].tolist() == [3, 3]
+    assert ts["n_ws_tokens"].tolist() == [3, 3]
+    fp = rd.from_arrow(tbl).map_batches(text.fingerprint, batch_format="pyarrow").to_pandas()
+    import hashlib
+
+    assert fp["md5_fingerprint"][0] == hashlib.md5(b"hello world, hello!").hexdigest()
+    # rolling hash deterministic across calls
+    fp2 = rd.from_arrow(tbl).map_batches(text.fingerprint, batch_format="pyarrow").to_pandas()
+    assert fp["rolling_hash"].tolist() == fp2["rolling_hash"].tolist()
+
+
+def test_lang_id_heuristic():
+    tbl = docs_table(
+        [
+            "the cat is on the mat and the dog is in the house",
+            "der Hund ist nicht in das Haus und die Katze ist da",
+            "le chat est dans la maison et les chiens sont la",
+            "zzz qqq xxx",
+        ]
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(text.LangId, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["lang_pred"].tolist() == ["en", "de", "fr", "unknown"]
+
+
+def test_quality_score_orders_garbage_below_prose():
+    tbl = docs_table(
+        [
+            "The quick brown fox jumps over the lazy dog and it is a fine day in the park.",
+            "$$$ 123 456 789 !!! ??? *** 000 111 ### @@@",
+        ]
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(text.quality_score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["quality"].iloc[0] > out["quality"].iloc[1]
+    assert 0.0 <= out["quality"].min() and out["quality"].max() <= 1.0
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_multimodal_featurize_plumbing():
+    media = rd.from_arrow(multimodal.synthetic_media_table(64))
+    out = multimodal.featurize(media, concurrency=1, batch_size=16).to_pandas()
+    assert len(out) == 64
+    assert out["decoded"].all()
+    assert all(len(f) == 64 for f in out["features"])
+    # unit-norm features
+    assert np.allclose([np.linalg.norm(f) for f in out["features"]], 1.0, atol=1e-5)
+
+
+def test_multimodal_real_mime_is_stubbed_not_crashing():
+    tbl = multimodal.synthetic_media_table(4).set_column(
+        3, "mime", pa.array(["image/png"] * 4, pa.string())
+    )
+    out = multimodal.featurize(rd.from_arrow(tbl), concurrency=1, batch_size=4).to_pandas()
+    assert (~out["decoded"]).all()
+    assert out["decode_error"].str.contains("no codec").all()
+
+
+def test_frame_sample_rows_per_duration():
+    tbl = multimodal.synthetic_media_table(3, kind="video").set_column(
+        6, "duration_ms", pa.array([3000, 500, None], pa.int32())
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(multimodal.frame_sample_stub, batch_format="pyarrow")
+        .to_pandas()
+    )
+    per = out.groupby("media_id")["frame"].count()
+    assert per[0] == 3 and per[1] == 1 and per[2] == 1
