@@ -16,6 +16,34 @@ for the wide steps, actor pools for stateful stages, Parquet checkpoints
 for resumability.
 """
 
+def _stabilize_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` import race-free.
+
+    Ray Data's path resolution re-attempts ``from fsspec.implementations.http
+    import HTTPFileSystem`` on EVERY read/write. Without ``aiohttp`` the
+    submodule fails mid-import and is removed from ``sys.modules``, so two
+    threads driving Datasets concurrently can race: one observes the other's
+    partially-initialized module and raises a plain ``ImportError`` that
+    Ray's ``except ModuleNotFoundError`` does not catch. Installing a stable
+    stub (whose sentinel class matches nothing) keeps the semantics — no
+    HTTP filesystem can exist without aiohttp — and removes the race."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        import sys
+        import types
+
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # isinstance() sentinel only
+            pass
+
+        stub.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+
+
+_stabilize_fsspec_http()
+
 from raydf import schema, terms
 from raydf.rules import Rule, System, load_system, parse_rule
 from raydf.deduce import FixpointEngine

@@ -116,14 +116,20 @@ def canonical_mapping_distributed(
         return ds.map_batches(f, batch_format="pyarrow")
 
     def _lookup_merge(df: pd.DataFrame) -> pd.DataFrame:
-        # rows for one key: side=1 carries label(key); side=0 carries the
-        # recipients (nodes asking for label(key))
-        lbls = df.loc[df["side"] == 1, "val"]
+        # per key: side=1 rows carry label(key); side=0 rows are the
+        # recipients (nodes asking for label(key)) — a vectorized
+        # min-groupby + merge over the whole partition's keys at once
+        lbls = (
+            df.loc[df["side"] == 1, ["key", "val"]]
+            .groupby("key", sort=False)["val"].min().rename("lbl")
+        )
         if len(lbls) == 0:
             return pd.DataFrame({"node": [], "lbl": []}).astype(np.int64)
-        lbl = int(lbls.min())
-        recips = df.loc[df["side"] == 0, "val"]
-        return pd.DataFrame({"node": recips.to_numpy(np.int64), "lbl": lbl})
+        recips = df.loc[df["side"] == 0, ["key", "val"]]
+        out = recips.merge(lbls, left_on="key", right_index=True, how="inner")
+        return pd.DataFrame(
+            {"node": out["val"].to_numpy(np.int64), "lbl": out["lbl"].to_numpy(np.int64)}
+        )
 
     prev_sum = labels.sum("lbl")
     for _ in range(max_iters):
@@ -132,11 +138,12 @@ def canonical_mapping_distributed(
         # (2) pointer jumping: node ← label(label(node)): ask at key=lbl
         ask_jump = _msgs(labels, key="lbl", val="node", side=0)
         have = _msgs(labels, key="node", val="lbl", side=1)
+        from raydf.joins import partitioned_group_map
+
         updates = (
-            ask_nbr.union(ask_jump)
-            .union(have)
-            .groupby("key")
-            .map_groups(_lookup_merge, batch_format="pandas")
+            partitioned_group_map(
+                ask_nbr.union(ask_jump).union(have), ["key"], _lookup_merge
+            )
             .map_batches(
                 lambda df: pa.Table.from_pandas(
                     df.astype(np.int64), preserve_index=False
@@ -144,9 +151,13 @@ def canonical_mapping_distributed(
                 batch_format="pandas",
             )
         )
+        # normalize BOTH union branches to arrow blocks: the aggregate's
+        # boundary sampler asserts a single uniform block type
+        base = labels.select_columns(["node", "lbl"]).map_batches(
+            lambda t: t, batch_format="pyarrow"
+        )
         labels = (
-            labels.select_columns(["node", "lbl"])
-            .union(updates)
+            base.union(updates)
             .groupby("node")
             .aggregate(Min("lbl", alias_name="lbl"))
             .materialize()

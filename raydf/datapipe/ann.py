@@ -141,24 +141,36 @@ def embedding_neardup_pairs(embeddings_ds, dim: int, *, threshold: float = 0.95,
         concurrency=concurrency,
     )
 
-    def verify_group(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df[id_col].unique())[:500]
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+    def verify_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.duplicated(subset=["band", "key"], keep=False)]
         kid, kvec = ray.get(vref)
-        pos = np.searchsorted(kid, ids)
-        m = kvec[pos]
-        sims = m @ m.T
-        ai, bi = np.triu_indices(len(ids), k=1)
-        s = sims[ai, bi]
-        keep = s >= threshold
-        return pd.DataFrame(
-            {"a": ids[ai][keep], "b": ids[bi][keep], "cosine": s[keep].astype(np.float64)}
-        )
+        parts = []
+        for _, g in df.groupby(["band", "key"], sort=False):
+            ids = np.sort(g[id_col].unique())[:500]
+            if len(ids) < 2:
+                continue
+            pos = np.searchsorted(kid, ids)
+            m = kvec[pos]
+            sims = m @ m.T
+            ai, bi = np.triu_indices(len(ids), k=1)
+            s = sims[ai, bi]
+            keep = s >= threshold
+            parts.append(
+                pd.DataFrame(
+                    {"a": ids[ai][keep], "b": ids[bi][keep],
+                     "cosine": s[keep].astype(np.float64)}
+                )
+            )
+        if not parts:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+                 "cosine": pd.Series(dtype=np.float64)}
+            )
+        return pd.concat(parts, ignore_index=True)
 
-    from raydf.joins import distinct
+    from raydf.joins import distinct, partitioned_group_map
 
-    pairs = keys.groupby(["band", "key"]).map_groups(verify_group, batch_format="pandas")
+    pairs = partitioned_group_map(keys, ["band", "key"], verify_partition)
     return distinct(pairs, ["a", "b"])
 
 

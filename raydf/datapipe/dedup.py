@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 
 from raydf import terms
-from raydf.joins import distinct
+from raydf.joins import distinct, partitioned_group_map
 
 
 def _text_hash(texts) -> np.ndarray:
@@ -53,7 +53,7 @@ def exact_dedup(docs_ds, *, id_col: str = "doc_id", text_col: str = "text"):
 
     ds = docs_ds.map_batches(add_hash, batch_format="pyarrow")
     ds = ds.map_batches(local_min, batch_format="pandas")  # combiner
-    out = ds.groupby("__h").map_groups(local_min, batch_format="pandas")
+    out = partitioned_group_map(ds, ["__h"], local_min)
     return out.drop_columns(["__h"])
 
 
@@ -141,18 +141,25 @@ def minhash_candidate_pairs(docs_ds, *, k=5, num_hashes=64, bands=16, concurrenc
         concurrency=concurrency,
     )
 
-    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        # bucket sizes are tiny by construction; cap pathological buckets
-        ids = ids[:200]
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+    def pairs_of_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # drop singleton buckets first (the vast majority) — vectorized
+        df = df[df.duplicated(subset=["band", "band_hash"], keep=False)]
+        parts = []
+        for _, g in df.groupby(["band", "band_hash"], sort=False):
+            ids = np.sort(g["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            # bucket sizes are tiny by construction; cap pathological buckets
+            ids = ids[:200]
+            ai, bi = np.triu_indices(len(ids), k=1)
+            parts.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
+        if not parts:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(parts, ignore_index=True)
 
-    pairs = keys.groupby(["band", "band_hash"]).map_groups(
-        pairs_of_group, batch_format="pandas"
-    )
+    pairs = partitioned_group_map(keys, ["band", "band_hash"], pairs_of_partition)
     return distinct(pairs, ["a", "b"])
 
 
@@ -261,23 +268,33 @@ def simhash_pairs(docs_ds, *, max_hamming: int = 3, concurrency: int = 4):
             }
         )
 
-    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(df) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(np.int64)
-        ids = df["doc_id"].to_numpy()[:200]
-        hs = df["simhash"].to_numpy().view(np.uint64)[:200]
-        ai, bi = np.triu_indices(len(ids), k=1)
-        x = hs[ai] ^ hs[bi]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= 3
-        return pd.DataFrame(
-            {"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]}
-        )
+    def pairs_of_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.duplicated(subset=["band", "key"], keep=False)]
+        parts = []
+        for _, g in df.groupby(["band", "key"], sort=False):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].to_numpy()[:200]
+            hs = g["simhash"].to_numpy().view(np.uint64)[:200]
+            ai, bi = np.triu_indices(len(ids), k=1)
+            x = hs[ai] ^ hs[bi]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            keep = ham <= max_hamming
+            parts.append(
+                pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]})
+            )
+        if not parts:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ("a", "b", "hamming")}
+            )
+        return pd.concat(parts, ignore_index=True)
 
-    pairs = sigs.map_batches(explode, batch_format="pyarrow").groupby(
-        ["band", "key"]
-    ).map_groups(pairs_of_group, batch_format="pandas")
+    pairs = partitioned_group_map(
+        sigs.map_batches(explode, batch_format="pyarrow"),
+        ["band", "key"],
+        pairs_of_partition,
+    )
     return distinct(pairs, ["a", "b"])
 
 

@@ -408,7 +408,13 @@ class FixpointEngine:
         cand_parts, eq_parts, true_parts = [], [], []
         per_rule = {}
         per_rule_secs = {}
-        for rule_idx, rule in enumerate(self.system.rules):
+
+        def _rule_task(args):
+            """One rule's binding job — materialization runs inside a thread
+            so independent rules' Ray jobs execute CONCURRENTLY (each
+            .materialize() is its own streaming job; serializing them makes
+            round latency the SUM of per-rule fixed costs)."""
+            rule_idx, rule = args
             t_rule = time.time()
             # pure-triple rules keep bindings LAZY (duplicates fold into the
             # bucketed (s,p,o,sign) anti-join) so the whole round's candidate
@@ -419,20 +425,35 @@ class FixpointEngine:
                 rule, full, delta=delta, old=old,
                 num_partitions=self.num_partitions, dedup=needs_dedup,
             )
-            if b is None:
-                per_rule[rule.name or str(rule_idx)] = 0
-                continue
-            if needs_dedup:  # materialized → count is metadata-cheap
+            cnt = None
+            if b is not None and needs_dedup:  # materialized → count is cheap
                 cnt = b.count()
-                per_rule[rule.name or str(rule_idx)] = cnt
-                per_rule_secs[rule.name or str(rule_idx)] = round(
-                    time.time() - t_rule, 2
-                )
+                if cnt > 0:
+                    b = self._resolved_bindings(rule, b)
+            elif b is not None:
+                b = self._resolved_bindings(rule, b)
+            return rule_idx, rule, b, needs_dedup, cnt, time.time() - t_rule
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_workers = max(1, min(len(self.system.rules), 8))
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            rule_results = list(
+                ex.map(_rule_task, list(enumerate(self.system.rules)))
+            )
+
+        for rule_idx, rule, b, needs_dedup, cnt, secs in rule_results:
+            name = rule.name or str(rule_idx)
+            if b is None:
+                per_rule[name] = 0
+                continue
+            if needs_dedup:
+                per_rule[name] = cnt
+                per_rule_secs[name] = round(secs, 2)
                 if cnt == 0:
                     continue
             else:
-                per_rule[rule.name or str(rule_idx)] = None  # lazy: unknown
-            b = self._resolved_bindings(rule, b)
+                per_rule[name] = None  # lazy: unknown
             if any(s.kind == "triple" for s in rule.conclusion.statements):
                 cand_parts.append(
                     b.map_batches(make_triples_fn(rule, rule_idx, round_no), batch_format="pandas")

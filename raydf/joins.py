@@ -55,6 +55,38 @@ def distinct(ds, cols: Sequence[str], *, pre_dedup: bool = True, num_partitions:
     )
 
 
+def partitioned_group_map(ds, keys: Sequence[str], partition_fn, *, num_partitions: int = 32):
+    """Run ``partition_fn`` once per coarse hash partition of ``keys``.
+
+    The scalable replacement for ``ds.groupby(keys).map_groups(fn)`` when
+    the key is fine-grained (one Ray-level Python UDF call *per distinct
+    key* — catastrophic at tens of thousands of tiny groups). All rows of
+    any key land in the same partition, so ``partition_fn`` sees complete
+    groups and does its own in-process (vectorized or pandas-groupby)
+    per-key work; Python crosses the Ray boundary only ``num_partitions``
+    times."""
+    keys = list(keys)
+    P = num_partitions
+
+    def pre(df: pd.DataFrame):
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        df = df.copy()
+        df["__p"] = (h % np.uint64(P)).astype(np.int64)
+        # emit arrow so the groupby sees ONE uniform block type even when
+        # upstream unions mix arrow- and pandas-backed branches
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(pre, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(
+            lambda d: partition_fn(d.drop(columns="__p")), batch_format="pandas"
+        )
+    )
+
+
 def broadcast_join(big_ds, small_df: pd.DataFrame, on: Sequence[str], *, how: str = "inner"):
     """Join a large Dataset against a small broadcast pandas side."""
     assert len(small_df) <= BROADCAST_ROW_LIMIT, "side too big to broadcast — use hash_join"
