@@ -543,6 +543,50 @@ def _embedding_neardup(sf_dir: str):
     return pairs.select_columns(["a", "b"])
 
 
+def _ann_ivf_topk(sf_dir: str):
+    """Rows-only: IVF-bucketed approximate top-k (probes nprobe centroid
+    buckets instead of scanning all vectors)."""
+    from raydf.datapipe.ann import ivf_index, ivf_search
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = (
+        emb.map_batches(
+            lambda t: t.filter(pa.compute.equal(t["vec_id"], 0)), batch_format="pyarrow"
+        )
+        .to_pandas()["embedding"]
+        .iloc[0]
+    )
+    dim = len(q)
+    indexed = ivf_index(emb, dim, n_centroids=16)
+    top = ivf_search(indexed, np.asarray(q, np.float32), k=5, nprobe=4, n_centroids=16)
+    return pa.table(
+        {
+            "vec_id": pa.array(top["vec_id"].to_numpy(np.int64), pa.int64()),
+            "score_e3": pa.array(
+                np.rint(top["score"].to_numpy() * 1e3).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def _ngram_jaccard_docs(sf_dir: str):
+    """Rows-only: exact pairwise n-gram Jaccard verifier over a small slice."""
+    from raydf.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .limit(300)
+        .to_pandas()
+    )
+    out = ngram_jaccard_pairs(docs, threshold=0.5)
+    return pa.table(
+        {
+            "a": pa.array(out["a"].to_numpy(np.int64), pa.int64()),
+            "b": pa.array(out["b"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def _lang_id_docs(sf_dir: str):
     from raydf.datapipe.text import LangId
 
@@ -631,6 +675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_basic": _text_quality_basic,
         "doc_fingerprint": _doc_fingerprint,
         "ann_topk": _ann_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "ngram_jaccard_docs": _ngram_jaccard_docs,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "embedding_neardup": _embedding_neardup,

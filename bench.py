@@ -42,22 +42,38 @@ def _sf_tag(sf_dir: str) -> float | str:
     return base
 
 
-def run_headline(sf_dir: str, workdir: str) -> dict:
-    """Full flagship pipeline; returns {seconds, triples, triples_per_sec}."""
+def run_headline(sf_dir: str, workdir: str, num_cpus: int = 32) -> dict:
+    """Full flagship pipeline; returns {seconds, triples, triples_per_sec}.
+
+    ``$GRAFT_SRC_DIR`` (set by --scaling) points at a pre-generated
+    source_code-shaped Parquet table; otherwise the input is derived from
+    the sf_dir documents table."""
     import __ray_entry__ as e
     from raydf.pipeline import kg_pipeline
 
     if os.path.exists(workdir):
         shutil.rmtree(workdir)
-    src = e._source_code_from_documents(sf_dir)
+    src_dir = os.environ.get("GRAFT_SRC_DIR")
+    if src_dir:
+        import ray.data as rd
+
+        src = rd.read_parquet(src_dir)
+    else:
+        src = e._source_code_from_documents(sf_dir)
     t0 = time.time()
     metrics = kg_pipeline(
         src,
         workdir,
-        buckets=16,
+        # buckets caps the anti-join groupby parallelism but also multiplies
+        # checkpoint file count (A/B at 200k files, 32 CPUs: buckets=16
+        # fixpoint 82s, buckets=64 101s — small files dominate); 32 balances
+        buckets=32,
+        # A/B at 1M files, 32 CPUs: num_partitions 16 → 148 s end-to-end,
+        # 32 → 269 s (Ray join/shuffle fixed cost per partition dominates)
         num_partitions=16,
         max_rounds=10,
         max_generations=2,
+        mention_concurrency=num_cpus,
     )
     dt = time.time() - t0
     triples = int(metrics["triples"])
@@ -119,7 +135,7 @@ def single_run(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             log_to_driver=False,
         )
     workdir = f"/tmp/raydf_bench/headline_cpus{num_cpus}"
-    head = run_headline(sf_dir, workdir)
+    head = run_headline(sf_dir, workdir, num_cpus)
     queries = {} if headline_only else run_queries(sf_dir)
     ray.shutdown()
     total = head["seconds"] + sum(queries.values())
@@ -137,13 +153,44 @@ def single_run(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     }
 
 
-def scaling_run(sf_dir: str, low: int, high: int) -> dict:
-    """Same headline job at two parallelism levels, fresh process each."""
+def scaling_run(sf_dir: str, low: int, high: int, scale_files: int) -> dict:
+    """Same headline job at two parallelism levels, fresh process each.
+
+    The input is the deterministic synthetic source_code table at
+    ``scale_files`` rows (generated once, cached): the sf0.1-derived input
+    (5k docs) is pure fixed overhead at 32 CPUs, which measures Ray's job
+    launch cost rather than pipeline scalability. BASELINE.md documents the
+    protocol."""
+    import ray
+
+    src_dir = f"/tmp/raydf_bench/src_{scale_files}"
+    if not os.path.exists(os.path.join(src_dir, "_DONE")):
+        from raydf.fixtures import write_source_code
+
+        if not ray.is_initialized():
+            ray.init(
+                address="local", num_cpus=high,
+                include_dashboard=False, log_to_driver=False,
+            )
+        write_source_code(src_dir, scale_files)
+        ray.shutdown()
+
     results = {}
     for cpus in (low, high):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(cpus),
+            GRAFT_SF_DIR=sf_dir,
+            GRAFT_SRC_DIR=src_dir,
+        )
+        # Pin the whole process tree to `cpus` cores: ray.init(num_cpus=N)
+        # only caps task-scheduling slots, while pyarrow kernel/IO threads,
+        # parquet codecs and the object store still use every physical core
+        # — an un-pinned "8-CPU" run borrows the other 24 and fakes the
+        # small-cluster baseline. taskset is the honest N-node stand-in.
+        pin = ["taskset", "-c", f"0-{cpus - 1}"] if shutil.which("taskset") else []
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            pin + [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env,
             capture_output=True,
             text=True,
@@ -166,7 +213,7 @@ def scaling_run(sf_dir: str, low: int, high: int) -> dict:
             f"headline_cpus{low}": tl["queries"]["headline_kg_pipeline"],
             f"headline_cpus{high}": th["queries"]["headline_kg_pipeline"],
         },
-        "sf": _sf_tag(sf_dir),
+        "sf": f"synthetic-{scale_files}-files",
         "num_cpus": high,
         "throughput_low_tps": tl["triples_per_sec"],
         "throughput_high_tps": th["triples_per_sec"],
@@ -184,11 +231,16 @@ def main() -> None:
     )
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    # Amdahl at 200k files: ~78s of fixed (non-parallelizing) time vs ~790
+    # CPU-seconds of scalable work → efficiency caps at ~0.43. The fixed
+    # part is size-independent, so the honest scaling evidence needs a
+    # compute-dominated input: 1M files puts efficiency in the target band.
+    ap.add_argument("--scale-files", type=int, default=1_000_000)
     args = ap.parse_args()
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if args.scaling:
-        out = scaling_run(args.sf_dir, args.low, args.high)
+        out = scaling_run(args.sf_dir, args.low, args.high, args.scale_files)
     else:
         out = single_run(args.sf_dir, num_cpus, args.headline_only)
     print(json.dumps(out))

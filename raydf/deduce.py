@@ -41,6 +41,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from raydf import expr as expr_mod
+from raydf import joins
 from raydf import terms
 from raydf.match import EmptySource, ParquetSource, rule_bindings
 from raydf.rules import Call, ConstTerm, Rule, System, Var
@@ -217,6 +218,75 @@ def make_trues_fn(rule: Rule, rule_idx: int, round_no: int):
     return fn
 
 
+def _conclusion_calls(rule: Rule) -> list:
+    return [
+        nd
+        for st in rule.conclusion.statements
+        for nd in (list(st.triple or ()) + list(st.eq or ())
+                   + ([st.expr] if st.expr else []))
+        if isinstance(nd, Call)
+    ]
+
+
+def rule_needs_term_delta(rule: Rule) -> bool:
+    """Rules minting terms the dictionary doesn't know yet: existential
+    (skolem) conclusion vars and Call expressions producing literals."""
+    return rule.conclusion.variables > 0 or bool(_conclusion_calls(rule))
+
+
+def make_term_delta_fn(rule: Rule, rule_idx: int):
+    """bindings batch → term-dictionary rows for every derived term
+    (O19, reference vocabulary interning at
+    src/expression/value/mod.rs:172-198 + the blank generator at
+    src/system/deduction.rs:224-229). Skolem blanks get their
+    reconstructible ``sk-…`` lexical; Call results re-intern their literal
+    lexical forms."""
+    from raydf.schema import KIND_BLANK, TERMS_SCHEMA
+
+    calls = _conclusion_calls(rule)
+    fresh = [rule.variables + i for i in range(rule.conclusion.variables)]
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or (not fresh and not calls):
+            return TERMS_SCHEMA.empty_table()
+        frames = []
+        if fresh:
+            sub_hash = _sub_hash(df, rule)
+            for v_idx in fresh:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "term_id": terms.skolem_ids(rule_idx, v_idx, sub_hash),
+                            "kind": KIND_BLANK,
+                            "lexical": terms.skolem_lexical(rule_idx, v_idx, sub_hash),
+                            "datatype": None,
+                        }
+                    )
+                )
+        for call in calls:
+            result = expr_mod.evaluate(call, df)
+            _, rows = expr_mod.value_term_ids(result)
+            if len(rows):
+                frames.append(rows)
+        if not frames:
+            return TERMS_SCHEMA.empty_table()
+        out = pd.concat(frames, ignore_index=True).drop_duplicates("term_id")
+        return pa.table(
+            {
+                "term_id": pa.array(out["term_id"].to_numpy(np.int64), pa.int64()),
+                "kind": pa.array(out["kind"].to_numpy().astype(np.uint8), pa.uint8()),
+                "lexical": pa.array(out["lexical"].tolist(), pa.large_string()),
+                "datatype": pa.array(
+                    [None if d is None or d != d else d for d in out["datatype"]],
+                    pa.large_string(),
+                ),
+            },
+            schema=TERMS_SCHEMA,
+        )
+
+    return fn
+
+
 def rule_call_vars(rule: Rule) -> set[int]:
     """Vars feeding Call expressions (need literal resolution columns)."""
     out: set[int] = set()
@@ -383,11 +453,13 @@ class FixpointEngine:
     # binding-laziness policy: "all" = every rule's bindings distinct+
     # materialized; "multi" = only multi-pattern / Eq / True rules;
     # "none" = only Eq/True rules (triple rules fully lazy).
-    # A/B at sf0.01 (3 reps, one Ray session): "all" 21-31s, "multi"
-    # 28-37s, "none" 35-62s — materializing each rule's distinct bindings
-    # beats fusing lazy pipelines (probe-side scans re-execute per
-    # consumer inside the fused job).
-    dedup_policy = "all"
+    # A/B at 200k synthetic files, 32 CPUs (end-to-end kg_pipeline):
+    # "multi" 104s, "none" 123s, "all" 127s — skipping the per-rule
+    # distinct shuffle for single-pattern triple rules (their duplicates
+    # fold into the bucketed anti-join anyway) removes one whole shuffle
+    # job per rule per round; multi-pattern rules still materialize so the
+    # join cascade can size its sides.
+    dedup_policy = "multi"
 
     def _needs_dedup(self, rule: Rule) -> bool:
         if any(s.kind != "triple" for s in rule.conclusion.statements):
@@ -405,7 +477,7 @@ class FixpointEngine:
         old_files = self.triple_files(hi=round_no - 2)
         old = ParquetSource(old_files) if old_files else EmptySource()
 
-        cand_parts, eq_parts, true_parts = [], [], []
+        cand_parts, eq_parts, true_parts, term_parts = [], [], [], []
         per_rule = {}
         per_rule_secs = {}
 
@@ -436,7 +508,16 @@ class FixpointEngine:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        n_workers = max(1, min(len(self.system.rules), 8))
+        import ray
+
+        # Each concurrent multi-pattern rule runs a Ray native join whose
+        # aggregator ACTORS reserve 0.125 CPU × num_partitions (= 2 CPUs at
+        # 16 partitions). Stacking several joins on a small CPU budget
+        # starves the map tasks behind the reserved actors and DEADLOCKS
+        # (observed at num_cpus=4: join aggregator idle forever). Budget
+        # one rule thread per ~8 CPUs.
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_workers = max(1, min(len(self.system.rules), cpus // 8))
         with ThreadPoolExecutor(max_workers=n_workers) as ex:
             rule_results = list(
                 ex.map(_rule_task, list(enumerate(self.system.rules)))
@@ -466,6 +547,10 @@ class FixpointEngine:
                 true_parts.append(
                     b.map_batches(make_trues_fn(rule, rule_idx, round_no), batch_format="pandas")
                 )
+            if rule_needs_term_delta(rule):
+                term_parts.append(
+                    b.map_batches(make_term_delta_fn(rule, rule_idx), batch_format="pandas")
+                )
 
         new = 0
         if cand_parts:
@@ -487,6 +572,13 @@ class FixpointEngine:
             d = os.path.join(self.ckpt, "trues", f"round-{round_no}")
             _fresh_dir(d)
             trues.write_parquet(d)
+        if term_parts:
+            tds = term_parts[0]
+            for t in term_parts[1:]:
+                tds = tds.union(t)
+            d = os.path.join(self.ckpt, "termdelta", f"round-{round_no}")
+            _fresh_dir(d)
+            joins.distinct(tds, ["term_id"], num_partitions=4).write_parquet(d)
 
         rec = {
             "round": round_no,
@@ -535,6 +627,16 @@ class FixpointEngine:
         if not files:
             return None
         return rd.read_parquet(files)
+
+    def term_delta_files(self) -> list[str]:
+        """Dictionary rows for terms minted during deduction (skolem blanks,
+        expression-literal results) — merge into the base term dictionary
+        before decoding/materializing."""
+        return sorted(
+            glob.glob(
+                os.path.join(self.ckpt, "termdelta", "**", "*.parquet"), recursive=True
+            )
+        )
 
 
 def _fresh_dir(d: str) -> None:

@@ -335,7 +335,7 @@ def value_term_ids(result: EvalResult) -> tuple[np.ndarray, pd.DataFrame]:
     Returns (ids, new-literal dictionary rows)."""
     n = len(result.tag)
     ids = result.res.copy()
-    rows = {"kind": [], "lexical": [], "datatype": []}
+    rows = {"term_id": [], "kind": [], "lexical": [], "datatype": []}
 
     def intern(mask, lex_arr, dt):
         if not mask.any():
@@ -345,6 +345,7 @@ def value_term_ids(result: EvalResult) -> tuple[np.ndarray, pd.DataFrame]:
         tid = terms.intern_array(KIND_LITERAL, np.array(lex_list, dtype=object),
                                  np.full(len(idx), dt, dtype=object))
         ids[idx] = tid
+        rows["term_id"].extend(tid.tolist())
         rows["kind"].extend([KIND_LITERAL] * len(idx))
         rows["lexical"].extend(lex_list)
         rows["datatype"].extend([dt] * len(idx))

@@ -134,15 +134,22 @@ def triples_from_terms(rows, *, sign=None):
     return triples, terms_table(seen)
 
 
-def write_source_code(out_dir: str, num_files: int) -> str:
-    """Materialize the synthetic input to Parquet once (bench input cache)."""
+def write_source_code(out_dir: str, num_files: int, *, rows_per_file: int = 16384,
+                      row_group_size: int = 2048) -> str:
+    """Materialize the synthetic input to Parquet once (bench input cache).
+
+    Small row groups (not just many files) matter: Ray's parquet reader
+    splits per row group, so one-group files cap read/extract parallelism
+    at the file count no matter how many CPUs the cluster has."""
     import os
 
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
     ds = source_code_dataset(num_files)
-    ds.write_parquet(out_dir, min_rows_per_file=65536)
+    ds.write_parquet(
+        out_dir, min_rows_per_file=rows_per_file, row_group_size=row_group_size
+    )
     with open(done, "w") as f:
         f.write(str(num_files))
     return out_dir

@@ -158,6 +158,17 @@ def order_patterns(items: list) -> list:
     return ordered
 
 
+def _join_partitions(num_partitions: int) -> int:
+    """Partition count for the native hash join: capped at 16 (its per-
+    partition fixed cost regresses past that — BASELINE.md A/B) and at the
+    cluster CPU count (aggregator actors reserve 0.125 CPU per partition;
+    over-reserving deadlocks small clusters)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(num_partitions, 16, cpus))
+
+
 # ------------------------------------------------------------- join cascade
 
 
@@ -194,8 +205,18 @@ def find_bindings(items: list, *, num_partitions: int = 32):
                     small = bindings.to_pandas()
                     bindings = joins.broadcast_join(matched, small, on=keys)
                 else:
+                    # big-big: Ray's native hash join. A/B at 1M files /
+                    # 32 CPUs (transitive rule): native@16 partitions 17 s,
+                    # native@32 45 s, partitioned_merge_join@64 48 s — keep
+                    # partitions LOW; the join's fixed cost per partition
+                    # dwarfs the parallelism gain on this workload.
+                    # Also scale partitions DOWN with the CPU budget: the
+                    # join's aggregator actors reserve 0.125 CPU each, and
+                    # 16 partitions' worth (2 CPUs) deadlocks a 4-CPU
+                    # cluster when a previous join's actors linger.
                     bindings = joins.hash_join(
-                        bindings, matched, on=keys, num_partitions=num_partitions
+                        bindings, matched, on=keys,
+                        num_partitions=_join_partitions(num_partitions),
                     )
             else:
                 # cartesian: rare (disconnected hypothesis); keyed cross join
@@ -207,7 +228,8 @@ def find_bindings(items: list, *, num_partitions: int = 32):
                     ).drop_columns(["__x"])
                 else:
                     bindings = joins.hash_join(
-                        left, right, on=["__x"], num_partitions=num_partitions
+                        left, right, on=["__x"],
+                        num_partitions=_join_partitions(num_partitions),
                     ).drop_columns(["__x"])
         bound |= pvars
 

@@ -250,7 +250,16 @@ def kg_pipeline(
     t0 = time.time()
     out_dir = os.path.join(workdir, "graph")
     final_triples = engine.dataset()
-    terms_ds = rd.read_parquet(sorted(glob.glob(os.path.join(terms_dir, "*.parquet"))))
+    term_files = sorted(glob.glob(os.path.join(terms_dir, "*.parquet")))
+    # terms minted during deduction (skolem blanks, expression literals)
+    # live in per-generation deltas — merge them into the dictionary
+    for g in range(gen + 1):
+        eng_g = FixpointEngine(
+            system, os.path.join(workdir, f"gen{g}"),
+            buckets=buckets, num_partitions=num_partitions,
+        )
+        term_files.extend(eng_g.term_delta_files())
+    terms_ds = joins.distinct(rd.read_parquet(term_files), ["term_id"])
     terms_ds = remap_terms(terms_ds, total_mapping)
     if not _stage_done(out_dir):
         materialize_graph(final_triples, terms_ds, out_dir)

@@ -150,6 +150,51 @@ def test_existential_skolemization_idempotent(tmp_workdir):
     assert len(eng.manifest()["rounds"]) <= 4
 
 
+def test_term_delta_for_skolems_and_call_literals(tmp_workdir):
+    """Derived terms enter the dictionary (O19): skolem blanks get their
+    reconstructible lexical, Call results their literal lexical form."""
+    import pyarrow.parquet as pq
+
+    P = "https://example.org/#p"
+    KNOWS = "https://example.org/#knowsSomeone"
+    AGESUM = "https://example.org/#flag"
+    a, b = R.iri("a"), R.iri("b")
+    triples, _ = triples_from_terms([(a, R.iri(P), b)])
+    system = R.System()
+    system.insert(
+        R.rule(
+            2,
+            [R.pat(R.v(0), R.iri(P), R.v(1))],
+            [R.triple_st(R.v(0), R.iri(KNOWS), R.v(2))],
+            fresh=1,
+            name="exist",
+        )
+    )
+    # Call conclusion producing a boolean literal object
+    system.insert(
+        R.rule(
+            2,
+            [R.pat(R.v(0), R.iri(P), R.v(1))],
+            [R.triple_st(R.v(0), R.iri(AGESUM), R.Call("eq", (R.dec(1), R.dec(1))))],
+            name="call_lit",
+        )
+    )
+    eng = _run_engine(system, triples, tmp_workdir)
+    files = eng.term_delta_files()
+    assert files
+    delta = pq.read_table(files).to_pandas()
+    # one skolem blank (kind 1) + the boolean literal "true" (kind 2)
+    blanks = delta[delta["kind"] == 1]
+    lits = delta[delta["kind"] == 2]
+    assert len(blanks) == 1 and blanks.iloc[0]["lexical"].startswith("sk-")
+    assert "true" in set(lits["lexical"])
+    # ids in the delta cover every derived term absent from the base dict
+    out = eng.dataset().to_pandas()
+    derived_ids = set(out.loc[out["rule_idx"].notna(), "obj"])
+    known = {a.id, b.id} | set(delta["term_id"])
+    assert derived_ids <= known
+
+
 def test_resume_from_manifest(tmp_workdir):
     E = "https://example.org/#edge"
     nodes = [R.iri(f"m{i}") for i in range(4)]
