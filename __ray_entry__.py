@@ -81,8 +81,9 @@ def _source_code_from_documents(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(to_source, batch_format="pyarrow")
 
 
-def _int_triples(subj: np.ndarray, pred: int, obj: np.ndarray) -> pa.Table:
-    """Triples over pre-interned integer ids (keys reused as term ids)."""
+def _int_triples(subj: np.ndarray, pred: int, obj: np.ndarray, graph: int = 0) -> pa.Table:
+    """Triples over pre-interned integer ids (keys reused as term ids);
+    ``graph`` = named-graph id (0 = default graph)."""
     from raydf.schema import TRIPLES_SCHEMA
 
     n = len(subj)
@@ -92,6 +93,7 @@ def _int_triples(subj: np.ndarray, pred: int, obj: np.ndarray) -> pa.Table:
             "pred": pa.array(np.full(n, pred, np.int64), pa.int64()),
             "obj": pa.array(np.asarray(obj, np.int64), pa.int64()),
             "sign": pa.array([True] * n, pa.bool_()),
+            "graph": pa.array(np.full(n, graph, np.int64), pa.int64()),
             "rule_idx": pa.nulls(n, pa.int32()),
             "round": pa.array([0] * n, pa.int32()),
             "substitution": pa.nulls(n, pa.large_list(pa.int64())),
@@ -107,12 +109,9 @@ def _int_triples(subj: np.ndarray, pred: int, obj: np.ndarray) -> pa.Table:
 def entry() -> Any:
     """Flagship: documents(sf0.001) → source_code table → extract →
     fixpoint deduction → Eq canonicalization → sorted dictionary-encoded
-    graph; returns the decoded triple view."""
-    import glob
-
-    import ray.data as rd
-
-    from raydf.materialize import decode_triples
+    graph; returns the decoded triple view (broadcast decode for small
+    dictionaries, 3× hash-join decode past the broadcast limit)."""
+    from raydf.materialize import decode_graph
     from raydf.pipeline import kg_pipeline
 
     sf_dir = "/root/testdata/sf0.001"
@@ -121,10 +120,7 @@ def entry() -> Any:
     metrics = kg_pipeline(
         src, workdir, buckets=8, num_partitions=8, max_rounds=8, max_generations=2
     )
-    triples = rd.read_parquet(os.path.join(metrics["graph_dir"], "triples"))
-    terms_files = glob.glob(os.path.join(metrics["graph_dir"], "terms", "*.parquet"))
-    terms_df = rd.read_parquet(terms_files).to_pandas()
-    return decode_triples(triples, terms_df)
+    return decode_graph(metrics["graph_dir"])
 
 
 # ================================================================ queries
@@ -379,6 +375,63 @@ def _kg_validation_negative_balance(sf_dir: str):
     return pa.table({"c_custkey": pa.array(keys, pa.int64())})
 
 
+_GRAPH_A = -10  # named-graph ids for the quad query (pre-interned ints)
+_GRAPH_B = -11
+
+
+def _kg_quads_cross_graph(sf_dir: str):
+    """Named-graph (quad) support: nation→customer edges live in graph A,
+    customer→order edges in graph B; a rule whose patterns are each
+    constrained to ONE graph joins across them and concludes into graph A
+    (reference Statement::with_graph / QuadStatement,
+    /root/reference/src/statement.rs:23-29, 117-127). Oracle: the plain
+    customer⋈orders join."""
+    import ray.data as rd
+
+    from raydf import rules as R
+    from raydf.deduce import FixpointEngine
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    e1 = _int_triples(
+        cust["c_nationkey"].to_numpy(np.int64) + _NATION_NS,
+        _CONTAINS_PRED,
+        cust["c_custkey"].to_numpy(np.int64) + _CUST_NS,
+        graph=_GRAPH_A,
+    )
+    e2 = _int_triples(
+        orders["o_custkey"].to_numpy(np.int64) + _CUST_NS,
+        _CONTAINS_PRED,
+        orders["o_orderkey"].to_numpy(np.int64) + _ORDER_NS,
+        graph=_GRAPH_B,
+    )
+    system = R.System()
+    system.insert(
+        R.rule(
+            3,
+            [
+                R.pat(R.v(0), IntConst(_CONTAINS_PRED), R.v(1), g=IntConst(_GRAPH_A)),
+                R.pat(R.v(1), IntConst(_CONTAINS_PRED), R.v(2), g=IntConst(_GRAPH_B)),
+            ],
+            [R.triple_st(R.v(0), IntConst(_CONTAINS_PRED), R.v(2), graph=IntConst(_GRAPH_A))],
+            name="cross_graph_join",
+        )
+    )
+    wd = _fresh(f"quads-{os.path.basename(sf_dir)}")
+    eng = FixpointEngine(system, wd, buckets=16, num_partitions=8)
+    eng.load_initial(rd.from_arrow(pa.concat_tables([e1, e2])))
+    eng.run(max_rounds=3)
+    out = eng.dataset().map_batches(
+        lambda df: df[df["round"] > 0][["subj", "obj"]].rename(
+            columns={"subj": "anc", "obj": "desc"}
+        ),
+        batch_format="pandas",
+    )
+    from raydf.joins import distinct
+
+    return distinct(out, ["anc", "desc"])
+
+
 def _kg_eq_canonicalize(sf_dir: str):
     from raydf.canonicalize import canonical_mapping_driver
 
@@ -520,11 +573,11 @@ def _minhash_dedup_docs(sf_dir: str):
     from raydf.datapipe.dedup import minhash_dedup
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    docs_df = docs.to_pandas()
-    survivors, _mapping = minhash_dedup(docs, docs_df, threshold=0.8)
-    return pa.table(
-        {"doc_id": pa.array(sorted(survivors["doc_id"].tolist()), pa.int64())}
-    )
+    # survivors is a lazy Dataset: candidates/verify/anti-join all stream;
+    # only doc_ids of the result are collected
+    survivors, _mapping = minhash_dedup(docs, threshold=0.8)
+    ids = sorted(survivors.select_columns(["doc_id"]).to_pandas()["doc_id"].tolist())
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
 def _simhash_pairs_docs(sf_dir: str):
@@ -535,17 +588,38 @@ def _simhash_pairs_docs(sf_dir: str):
 
 
 def _embedding_neardup(sf_dir: str):
+    """LSH-bucketed near-dup pairs, oracle-checked: the fixture vectors are
+    near-orthogonal (max pairwise cosine 0.51 at sf0.01), so the input is
+    augmented with deterministic exact copies (vec_id+1e6 for every
+    vec_id % 50 == 0) — the ground truth at threshold 0.9 is then exactly
+    the planted (i, i+1e6) pairs, which DuckDB reproduces with a
+    list_cosine_similarity self-join."""
+    import pyarrow.compute as pc
+
     from raydf.datapipe.ann import embedding_neardup_pairs
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     dim = len(emb.take(1)[0]["embedding"])
-    pairs = embedding_neardup_pairs(emb, dim, threshold=0.9)
+
+    def planted(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        keep = t.filter(pa.array(ids % 50 == 0))
+        return pa.table(
+            {
+                "vec_id": pc.add(keep["vec_id"], 1_000_000),
+                "embedding": keep["embedding"],
+            }
+        )
+
+    aug = emb.union(emb.map_batches(planted, batch_format="pyarrow"))
+    pairs = embedding_neardup_pairs(aug, dim, threshold=0.9)
     return pairs.select_columns(["a", "b"])
 
 
 def _ann_ivf_topk(sf_dir: str):
-    """Rows-only: IVF-bucketed approximate top-k (probes nprobe centroid
-    buckets instead of scanning all vectors)."""
+    """Rows-only: IVF-bucketed approximate top-k (k-means-trained
+    centroids; queries probe nprobe centroid buckets instead of scanning
+    all vectors)."""
     from raydf.datapipe.ann import ivf_index, ivf_search
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -557,8 +631,8 @@ def _ann_ivf_topk(sf_dir: str):
         .iloc[0]
     )
     dim = len(q)
-    indexed = ivf_index(emb, dim, n_centroids=16)
-    top = ivf_search(indexed, np.asarray(q, np.float32), k=5, nprobe=4, n_centroids=16)
+    indexed, cents = ivf_index(emb, dim, n_centroids=16)
+    top = ivf_search(indexed, np.asarray(q, np.float32), cents, k=5, nprobe=4)
     return pa.table(
         {
             "vec_id": pa.array(top["vec_id"].to_numpy(np.int64), pa.int64()),
@@ -616,11 +690,7 @@ def _multimodal_featurize(sf_dir: str):
 
 def _kg_full_pipeline(sf_dir: str):
     """Rows-only: full flagship pipeline at the given sf; returns decoded triples."""
-    import glob
-
-    import ray.data as rd
-
-    from raydf.materialize import decode_triples
+    from raydf.materialize import decode_graph
     from raydf.pipeline import kg_pipeline
 
     workdir = _fresh(f"full-{os.path.basename(sf_dir)}")
@@ -628,11 +698,7 @@ def _kg_full_pipeline(sf_dir: str):
     metrics = kg_pipeline(
         src, workdir, buckets=8, num_partitions=8, max_rounds=8, max_generations=2
     )
-    triples = rd.read_parquet(os.path.join(metrics["graph_dir"], "triples"))
-    terms_df = rd.read_parquet(
-        glob.glob(os.path.join(metrics["graph_dir"], "terms", "*.parquet"))
-    ).to_pandas()
-    return decode_triples(triples, terms_df)
+    return decode_graph(metrics["graph_dir"])
 
 
 def _dec_str(x: float) -> str:
@@ -665,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG operator families
         "kg_extract_structural": _kg_extract_structural,
         "kg_transitive_contains": _kg_transitive_contains,
+        "kg_quads_cross_graph": _kg_quads_cross_graph,
         "kg_validation_negative_balance": _kg_validation_negative_balance,
         "kg_eq_canonicalize": _kg_eq_canonicalize,
         "kg_type_propagation": _kg_type_propagation,
@@ -744,6 +811,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT a AS anc, b AS "desc" FROM reach
         """,
+        "kg_quads_cross_graph": f"""
+            SELECT DISTINCT c_nationkey + {_NATION_NS} AS anc,
+                   o_orderkey + {_ORDER_NS} AS "desc"
+            FROM customer JOIN orders ON o_custkey = c_custkey
+        """,
         "kg_validation_negative_balance": """
             SELECT c_custkey FROM customer WHERE c_acctbal < 0 ORDER BY c_custkey
         """,
@@ -781,7 +853,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC
             LIMIT 5
         """,
-        # minhash/simhash/embedding-LSH/lang-id/quality/multimodal/full
-        # pipeline are non-SQL-expressible (stateful sketches, heuristic
-        # models, fixpoint engine) → rows-only checks.
+        "embedding_neardup": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id % 50 = 0
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.9
+        """,
+        # minhash/simhash/lang-id/quality/multimodal/full pipeline are
+        # non-SQL-expressible (stateful sketches, heuristic models,
+        # fixpoint engine) → rows-only checks.
     }

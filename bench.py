@@ -188,7 +188,15 @@ def scaling_run(sf_dir: str, low: int, high: int, scale_files: int) -> dict:
         # parquet codecs and the object store still use every physical core
         # — an un-pinned "8-CPU" run borrows the other 24 and fakes the
         # small-cluster baseline. taskset is the honest N-node stand-in.
-        pin = ["taskset", "-c", f"0-{cpus - 1}"] if shutil.which("taskset") else []
+        pin = []
+        if shutil.which("taskset") and cpus <= (os.cpu_count() or cpus):
+            pin = ["taskset", "-c", f"0-{cpus - 1}"]
+        elif cpus > (os.cpu_count() or 0):
+            print(
+                f"warning: {cpus} CPUs requested > {os.cpu_count()} physical; "
+                "running unpinned",
+                file=sys.stderr,
+            )
         proc = subprocess.run(
             pin + [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env,
@@ -196,8 +204,14 @@ def scaling_run(sf_dir: str, low: int, high: int, scale_files: int) -> dict:
             text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+        try:
+            line = proc.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)
+        except (IndexError, json.JSONDecodeError):
+            raise RuntimeError(
+                f"scaling subprocess (cpus={cpus}) produced no JSON; "
+                f"stderr tail:\n{proc.stderr[-2000:]}"
+            )
     tl, th = results[low], results[high]
     # efficiency = (throughput_high / throughput_low) / (high/low)
     speedup = tl["queries"]["headline_kg_pipeline"] / th["queries"][

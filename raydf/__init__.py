@@ -36,10 +36,19 @@ def _stabilize_fsspec_http() -> None:
         stub = types.ModuleType("fsspec.implementations.http")
 
         class HTTPFileSystem:  # isinstance() sentinel only
-            pass
+            def __init__(self, *a, **kw):
+                # keep the original failure mode visible: constructing the
+                # filesystem (fsspec registry hit on a real http:// URL)
+                # fails exactly like the absent dependency would
+                raise ImportError("aiohttp is required for HTTPFileSystem")
 
         stub.HTTPFileSystem = HTTPFileSystem
         sys.modules["fsspec.implementations.http"] = stub
+        # make plain `import fsspec.implementations.http` + attribute
+        # access resolve to the stub too
+        import fsspec.implementations as _fsspec_impl
+
+        setattr(_fsspec_impl, "http", stub)
 
 
 _stabilize_fsspec_http()

@@ -242,13 +242,17 @@ def make_remapper(mapping: pd.DataFrame, cols=("subj", "pred", "obj"),
 
 
 def remap_triples(triples_ds, mapping: pd.DataFrame, *, flag_col: str | None = None):
-    """Remap subj/pred/obj through the canonical mapping; with ``flag_col``
-    each row also gets a bool marking whether any id changed (the Δ seed
-    for incremental re-deduction after a merge)."""
+    """Remap subj/pred/obj/graph through the canonical mapping; with
+    ``flag_col`` each row also gets a bool marking whether any id changed
+    (the Δ seed for incremental re-deduction after a merge). Graph names
+    are resources too, so merged graph ids remap like any position (the
+    default-graph sentinel 0 is never a mapping node — nodes are real
+    term ids)."""
     if len(mapping) == 0 and flag_col is None:
         return triples_ds
     return triples_ds.map_batches(
-        make_remapper(mapping, flag_col=flag_col), batch_format="pyarrow"
+        make_remapper(mapping, cols=("subj", "pred", "obj", "graph"), flag_col=flag_col),
+        batch_format="pyarrow",
     )
 
 

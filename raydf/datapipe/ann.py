@@ -82,13 +82,21 @@ class LshBucketer:
     """Actor-pool stage: vector → LSH sign-bit bucket key(s).
 
     ``bands`` keys per vector (each over ``bits_per_band`` planes) so a
-    near-dup pair collides in ≥1 band w.h.p."""
+    near-dup pair collides in ≥1 band w.h.p. With ``emit_vectors`` each
+    emitted (band, key, id) row also carries the NORMALIZED vector, so the
+    in-bucket exact-cosine verify needs no side lookup at all — the
+    shuffle ships bands× the vector data and nothing ever concentrates on
+    the driver or in a broadcast (the scale-safe shape; the former design
+    materialized every vector on the driver)."""
 
     def __init__(self, dim: int, *, bands: int = 8, bits_per_band: int = 8,
-                 vec_col: str = "embedding", id_col: str = "vec_id"):
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 emit_vectors: bool = False):
         self.planes = hyperplanes(dim, bands * bits_per_band)
         self.bands, self.bits = bands, bits_per_band
         self.vec_col, self.id_col = vec_col, id_col
+        self.emit_vectors = emit_vectors
+        self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_vec_matrix(batch, self.vec_col))
@@ -102,39 +110,33 @@ class LshBucketer:
             keys_col.append(seg @ pw)
             bands_col.append(np.full(n, b, dtype=np.int32))
             ids_col.append(ids)
-        return pa.table(
-            {
-                "band": pa.array(np.concatenate(bands_col), pa.int32()),
-                "key": pa.array(np.concatenate(keys_col), pa.int64()),
-                self.id_col: pa.array(np.concatenate(ids_col), pa.int64()),
-            }
-        )
+        cols = {
+            "band": pa.array(np.concatenate(bands_col), pa.int32()),
+            "key": pa.array(np.concatenate(keys_col), pa.int64()),
+            self.id_col: pa.array(np.concatenate(ids_col), pa.int64()),
+        }
+        if self.emit_vectors:
+            tiled = np.tile(m.astype(np.float32), (self.bands, 1))
+            cols["nvec"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(tiled.reshape(-1), pa.float32()), self.dim
+            )
+        return pa.table(cols)
 
 
 def embedding_neardup_pairs(embeddings_ds, dim: int, *, threshold: float = 0.95,
                             bands: int = 8, bits_per_band: int = 8,
                             concurrency: int = 4,
-                            id_col: str = "vec_id", vec_col: str = "embedding"):
-    """All vector pairs with cosine ≥ threshold via LSH buckets + exact verify.
-
-    The verify step broadcasts the (id → unit vector) map; at scale swap
-    for a hash_join of candidate ids against the vectors Dataset."""
-    import ray
-
-    mats, ids_all = [], []
-    for batch in embeddings_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        mats.append(_normalize(_vec_matrix(batch, vec_col)))
-        ids_all.append(batch[id_col].to_numpy(zero_copy_only=False))
-    allm = np.concatenate(mats) if mats else np.zeros((0, dim), np.float32)
-    allids = np.concatenate(ids_all) if ids_all else np.zeros(0, np.int64)
-    order = np.argsort(allids)
-    vref = ray.put((allids[order], allm[order]))
-
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            num_partitions: int | None = None):
+    """All vector pairs with cosine ≥ threshold via LSH buckets + exact
+    in-bucket verify. Fully distributed: each bucket row carries its
+    normalized vector (see LshBucketer), candidate generation and verify
+    never leave their hash partition, and nothing is collected driver-side."""
     keys = embeddings_ds.map_batches(
         LshBucketer,
         fn_constructor_kwargs={
             "dim": dim, "bands": bands, "bits_per_band": bits_per_band,
-            "vec_col": vec_col, "id_col": id_col,
+            "vec_col": vec_col, "id_col": id_col, "emit_vectors": True,
         },
         batch_format="pyarrow",
         batch_size=4096,
@@ -143,14 +145,13 @@ def embedding_neardup_pairs(embeddings_ds, dim: int, *, threshold: float = 0.95,
 
     def verify_partition(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df.duplicated(subset=["band", "key"], keep=False)]
-        kid, kvec = ray.get(vref)
         parts = []
         for _, g in df.groupby(["band", "key"], sort=False):
-            ids = np.sort(g[id_col].unique())[:500]
-            if len(ids) < 2:
+            g = g.drop_duplicates(id_col).sort_values(id_col).head(500)
+            if len(g) < 2:
                 continue
-            pos = np.searchsorted(kid, ids)
-            m = kvec[pos]
+            ids = g[id_col].to_numpy(np.int64)
+            m = np.stack(g["nvec"].to_numpy())
             sims = m @ m.T
             ai, bi = np.triu_indices(len(ids), k=1)
             s = sims[ai, bi]
@@ -170,19 +171,56 @@ def embedding_neardup_pairs(embeddings_ds, dim: int, *, threshold: float = 0.95,
 
     from raydf.joins import distinct, partitioned_group_map
 
-    pairs = partitioned_group_map(keys, ["band", "key"], verify_partition)
+    pairs = partitioned_group_map(
+        keys, ["band", "key"], verify_partition, num_partitions=num_partitions
+    )
     return distinct(pairs, ["a", "b"])
 
 
-def ivf_index(embeddings_ds, dim: int, *, n_centroids: int = 16,
-              vec_col: str = "embedding", id_col: str = "vec_id"):
-    """IVF assignment: centroid c(v) = argmax cosine to deterministic seeds.
+def train_centroids(embeddings_ds, dim: int, n_centroids: int = 16, *,
+                    sample_size: int = 4096, iters: int = 10,
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means centroids trained on a deterministic sample.
 
-    Returns the Dataset with a `centroid` column — the partition key for
-    bucket-pruned search (queries probe nprobe nearest centroids only)."""
+    Init = hash-seeded unit vectors (reproducible, no RNG state), then
+    Lloyd iterations on the first ``sample_size`` vectors (driver-side —
+    the sample is a constant-size slice regardless of corpus scale; the
+    resulting centroid matrix is tiny and broadcast). Replaces the former
+    untrained hash-plane 'centroids', whose recall was unproven."""
+    sample = embeddings_ds.limit(sample_size).to_pandas()
+    m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float32))
+    cents = _normalize(hyperplanes(dim, n_centroids))
+    for _ in range(iters):
+        assign = (m @ cents.T).argmax(axis=1)
+        new = cents.copy()
+        for c in range(n_centroids):
+            members = m[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        new = _normalize(new)
+        if np.allclose(new, cents, atol=1e-6):
+            break
+        cents = new
+    return cents.astype(np.float32)
+
+
+def ivf_index(embeddings_ds, dim: int, *, n_centroids: int = 16,
+              centroids: np.ndarray | None = None,
+              vec_col: str = "embedding", id_col: str = "vec_id"):
+    """IVF assignment: centroid c(v) = argmax cosine to the trained
+    centroids (:func:`train_centroids` unless given).
+
+    Returns ``(indexed_ds, centroids)``: the Dataset gains a `centroid`
+    column — the partition key for bucket-pruned search — and the centroid
+    matrix must be reused by :func:`ivf_search` (index and search must
+    agree on the quantizer)."""
     import ray
 
-    cents = _normalize(hyperplanes(dim, n_centroids))
+    cents = (
+        centroids
+        if centroids is not None
+        else train_centroids(embeddings_ds, dim, n_centroids, vec_col=vec_col)
+    )
     cref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -191,15 +229,15 @@ def ivf_index(embeddings_ds, dim: int, *, n_centroids: int = 16,
         a = (m @ c.T).argmax(axis=1).astype(np.int32)
         return batch.append_column("centroid", pa.array(a, pa.int32()))
 
-    return embeddings_ds.map_batches(assign, batch_format="pyarrow")
+    return embeddings_ds.map_batches(assign, batch_format="pyarrow"), cents
 
 
-def ivf_search(indexed_ds, query: np.ndarray, *, k: int = 10, nprobe: int = 4,
-               n_centroids: int = 16, vec_col: str = "embedding",
+def ivf_search(indexed_ds, query: np.ndarray, centroids: np.ndarray, *,
+               k: int = 10, nprobe: int = 4, vec_col: str = "embedding",
                id_col: str = "vec_id") -> pd.DataFrame:
     q = np.asarray(query, dtype=np.float32)
     q = q / (np.linalg.norm(q) or 1.0)
-    cents = _normalize(hyperplanes(len(q), n_centroids))
+    cents = _normalize(centroids.astype(np.float32))
     probe = set(np.argsort(-(cents @ q))[:nprobe].tolist())
 
     import pyarrow.compute as pc

@@ -41,8 +41,13 @@ def _text_hash(texts) -> np.ndarray:
 # ------------------------------------------------------------------ exact
 
 
-def exact_dedup(docs_ds, *, id_col: str = "doc_id", text_col: str = "text"):
-    """Keep the min-id document per exact text (hash-partitioned)."""
+def exact_dedup(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
+                num_partitions: int | None = None):
+    """Keep the min-id document per exact text (hash-partitioned).
+
+    ``num_partitions=None`` → CPU-scaled (joins.default_partitions); each
+    partition is one in-memory frame per task, so the count must grow with
+    input size / cluster width."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = _text_hash(batch[text_col].to_pylist())
@@ -53,7 +58,7 @@ def exact_dedup(docs_ds, *, id_col: str = "doc_id", text_col: str = "text"):
 
     ds = docs_ds.map_batches(add_hash, batch_format="pyarrow")
     ds = ds.map_batches(local_min, batch_format="pandas")  # combiner
-    out = partitioned_group_map(ds, ["__h"], local_min)
+    out = partitioned_group_map(ds, ["__h"], local_min, num_partitions=num_partitions)
     return out.drop_columns(["__h"])
 
 
@@ -131,7 +136,8 @@ class MinHasher:
         )
 
 
-def minhash_candidate_pairs(docs_ds, *, k=5, num_hashes=64, bands=16, concurrency=4):
+def minhash_candidate_pairs(docs_ds, *, k=5, num_hashes=64, bands=16, concurrency=4,
+                            num_partitions=None):
     """LSH candidate pairs (a < b) — docs sharing any band bucket."""
     keys = docs_ds.map_batches(
         MinHasher,
@@ -159,54 +165,105 @@ def minhash_candidate_pairs(docs_ds, *, k=5, num_hashes=64, bands=16, concurrenc
             )
         return pd.concat(parts, ignore_index=True)
 
-    pairs = partitioned_group_map(keys, ["band", "band_hash"], pairs_of_partition)
+    pairs = partitioned_group_map(keys, ["band", "band_hash"], pairs_of_partition,
+                                  num_partitions=num_partitions)
     return distinct(pairs, ["a", "b"])
+
+
+def _pair_jaccard(df: pd.DataFrame, k: int, threshold: float) -> pd.DataFrame:
+    """Shingle-Jaccard over rows carrying text_a/text_b (shingle sets cached
+    per distinct doc within the batch)."""
+    sims = []
+    cache: dict[int, set] = {}
+
+    def sh(i, text):
+        if i not in cache:
+            cache[i] = _shingles(text, k)
+        return cache[i]
+
+    for a, b, ta, tb in zip(df["a"], df["b"], df["text_a"], df["text_b"]):
+        sa, sb = sh(int(a), ta), sh(int(b), tb)
+        inter = len(sa & sb)
+        union = len(sa | sb) or 1
+        sims.append(inter / union)
+    df = df.assign(jaccard=sims)
+    return df.loc[df["jaccard"] >= threshold, ["a", "b", "jaccard"]]
 
 
 def jaccard_verify(pairs_ds, docs_df: pd.DataFrame, *, k=5, threshold=0.8,
                    text_col="text", id_col="doc_id"):
-    """Verify candidate pairs by shingle Jaccard ≥ threshold (broadcast docs).
-
-    At scale replace the broadcast with a double hash_join pairs⋈docs on
-    a/b to ship only the needed texts per partition."""
+    """Verify candidate pairs by shingle Jaccard ≥ threshold — BROADCAST
+    variant: ships the whole id→text dict to every task. Only valid when
+    the corpus fits comfortably in one worker heap (test fixtures, small
+    relations); the engine path is :func:`jaccard_verify_joined`."""
     import ray
 
     ref = ray.put(docs_df.set_index(id_col)[text_col].to_dict())
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         texts = ray.get(ref)
-        sims = []
-        cache: dict[int, set] = {}
-
-        def sh(i):
-            if i not in cache:
-                cache[i] = _shingles(texts[i], k)
-            return cache[i]
-
-        for a, b in zip(df["a"], df["b"]):
-            sa, sb = sh(int(a)), sh(int(b))
-            inter = len(sa & sb)
-            union = len(sa | sb) or 1
-            sims.append(inter / union)
-        df = df.assign(jaccard=sims)
-        return df[df["jaccard"] >= threshold]
+        df = df.assign(
+            text_a=[texts[int(a)] for a in df["a"]],
+            text_b=[texts[int(b)] for b in df["b"]],
+        )
+        return _pair_jaccard(df, k, threshold)
 
     return pairs_ds.map_batches(verify, batch_format="pandas")
 
 
-def minhash_dedup(docs_ds, docs_df: pd.DataFrame, *, k=5, num_hashes=64, bands=16,
-                  threshold=0.8, concurrency=4):
-    """Full near-dedup: LSH candidates → Jaccard verify → connected
-    components → survivors (min doc_id per cluster) + cluster mapping."""
+def jaccard_verify_joined(pairs_ds, docs_ds, *, k=5, threshold=0.8,
+                          text_col="text", id_col="doc_id",
+                          num_partitions: int | None = None):
+    """Scale path: double hash-join ``pairs ⋈ docs`` on a then b ships each
+    candidate's text into its pair's partition — the corpus is never
+    collected or broadcast; data moved ∝ candidate pairs, not documents."""
+    from raydf.match import _join_partitions
+
+    P = _join_partitions(num_partitions or 32)
+
+    def rename(to: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.select([id_col, text_col]).rename_columns([to, f"text_{to}"])
+
+        return f
+
+    docs_a = docs_ds.map_batches(rename("a"), batch_format="pyarrow")
+    docs_b = docs_ds.map_batches(rename("b"), batch_format="pyarrow")
+    j = pairs_ds.join(docs_a, join_type="inner", num_partitions=P, on=("a",),
+                      validate_schemas=False)
+    j = j.join(docs_b, join_type="inner", num_partitions=P, on=("b",),
+               validate_schemas=False)
+    return j.map_batches(
+        lambda df: _pair_jaccard(df, k, threshold), batch_format="pandas"
+    )
+
+
+def minhash_dedup(docs_ds, *, k=5, num_hashes=64, bands=16,
+                  threshold=0.8, concurrency=4, num_partitions=None):
+    """Full near-dedup: LSH candidates → joined Jaccard verify → connected
+    components → survivors + cluster mapping.
+
+    Returns ``(survivors_ds, mapping)``: survivors is a LAZY Dataset (docs
+    anti-joined against the dropped-id set); mapping is the driver-resident
+    (node → canonical) frame — driver-resident by design, it is broadcast
+    into the anti-join, and verified near-dup pairs are orders of magnitude
+    fewer than documents. No ``.to_pandas()`` of the corpus anywhere."""
     from raydf.canonicalize import canonical_mapping
+    from raydf.joins import broadcast_semi_filter
 
     pairs = minhash_candidate_pairs(
-        docs_ds, k=k, num_hashes=num_hashes, bands=bands, concurrency=concurrency
+        docs_ds, k=k, num_hashes=num_hashes, bands=bands, concurrency=concurrency,
+        num_partitions=num_partitions,
     )
-    verified = jaccard_verify(pairs, docs_df, k=k, threshold=threshold)
-    mapping = canonical_mapping(verified.select_columns(["a", "b"]))
-    dropped = set(mapping["node"])
-    survivors = docs_df[~docs_df["doc_id"].isin(dropped)]
+    verified = jaccard_verify_joined(
+        pairs, docs_ds, k=k, threshold=threshold, num_partitions=num_partitions
+    )
+    # pairs (not documents) land on the driver: union-find input
+    mapping = canonical_mapping(verified.select_columns(["a", "b"]).to_pandas())
+    if len(mapping) == 0:
+        return docs_ds, mapping
+    dropped = mapping[["node"]].rename(columns={"node": "doc_id"})
+    survivors = broadcast_semi_filter(docs_ds, dropped, on=["doc_id"], anti=True)
     return survivors, mapping
 
 
@@ -243,7 +300,8 @@ class SimHasher:
         return out
 
 
-def simhash_pairs(docs_ds, *, max_hamming: int = 3, concurrency: int = 4):
+def simhash_pairs(docs_ds, *, max_hamming: int = 3, concurrency: int = 4,
+                  num_partitions=None):
     """Near-dup pairs by simhash: bucket on 4×16-bit sub-bands (pigeonhole:
     hamming ≤ 3 ⇒ one identical sub-band), verify Hamming in-bucket."""
     sigs = docs_ds.map_batches(
@@ -294,6 +352,7 @@ def simhash_pairs(docs_ds, *, max_hamming: int = 3, concurrency: int = 4):
         sigs.map_batches(explode, batch_format="pyarrow"),
         ["band", "key"],
         pairs_of_partition,
+        num_partitions=num_partitions,
     )
     return distinct(pairs, ["a", "b"])
 

@@ -72,20 +72,27 @@ def token_stats(batch: pa.Table) -> pa.Table:
 _STOPWORDS = frozenset(
     "the and of a to in is that it for on with as are was be this at by an".split()
 )
+# \b-anchored alternation counts exactly the findall(\w+) tokens that are
+# stopwords (boundaries reject partial-token matches like 'the' in 'other')
+_STOP_RE = r"\b(?:" + "|".join(sorted(_STOPWORDS)) + r")\b"
 
 
 def quality_score(batch: pa.Table) -> pa.Table:
     """Heuristic quality features: length, punctuation/digit/upper ratios,
-    stopword ratio, mean word length, and a composite [0,1] score."""
+    stopword ratio, mean word length, and a composite [0,1] score.
+    All ratios via vectorized ``str.count`` regex kernels — no per-row
+    token loops (sum of \\w+ match lengths ≡ count of \\w chars)."""
     texts = pd.Series(batch["text"].to_pylist())
+    lower = texts.str.lower()
     n_chars = texts.str.len().clip(lower=1)
-    words = texts.str.lower().str.findall(_WORD_RE)
-    n_words = words.map(len).clip(lower=1)
-    stop_ratio = words.map(lambda ws: sum(w in _STOPWORDS for w in ws)) / n_words
+    n_words = texts.str.count(_WORD_RE).clip(lower=1)
+    stop_ratio = lower.str.count(_STOP_RE) / n_words
     punct_ratio = texts.str.count(r"[^\w\s]") / n_chars
     digit_ratio = texts.str.count(r"\d") / n_chars
     upper_ratio = texts.str.count(r"[A-Z]") / n_chars
-    mean_word_len = words.map(lambda ws: np.mean([len(w) for w in ws]) if ws else 0.0)
+    mean_word_len = (texts.str.count(r"\w") / n_words).where(
+        texts.str.count(_WORD_RE) > 0, 0.0
+    )
     score = (
         0.4 * np.clip(stop_ratio / 0.4, 0, 1)
         + 0.2 * (1 - np.clip(punct_ratio / 0.3, 0, 1))
@@ -105,6 +112,20 @@ def quality_score(batch: pa.Table) -> pa.Table:
     return out
 
 
+def _roll64(data: bytes) -> int:
+    """Base-131 polynomial hash mod 2^64 (≡ the per-byte Horner loop
+    ``h = h*131 + ch``), vectorized: powers via uint64 cumprod (numpy
+    integer overflow wraps mod 2^64 by definition)."""
+    if not data:
+        return -0x8000000000000000
+    arr = np.frombuffer(data, np.uint8).astype(np.uint64)
+    p = np.full(len(arr), np.uint64(131))
+    p[0] = np.uint64(1)
+    powers = np.cumprod(p)  # 131^0 .. 131^(n-1)
+    h = int((arr * powers[::-1]).sum(dtype=np.uint64))
+    return h - 0x8000000000000000
+
+
 def fingerprint(batch: pa.Table) -> pa.Table:
     """Document fingerprints: md5 of normalized text (stable, SQL-checkable)
     + a 64-bit rolling hash (winnowing-style content id)."""
@@ -112,11 +133,9 @@ def fingerprint(batch: pa.Table) -> pa.Table:
     md5s, rolls = [], []
     for t in texts:
         norm = " ".join(t.lower().split())
-        md5s.append(hashlib.md5(norm.encode()).hexdigest())
-        h = 0
-        for ch in norm.encode():
-            h = (h * 131 + ch) & 0xFFFFFFFFFFFFFFFF
-        rolls.append(h - 0x8000000000000000)
+        raw = norm.encode()
+        md5s.append(hashlib.md5(raw).hexdigest())
+        rolls.append(_roll64(raw))
     out = batch.select(["doc_id"])
     out = out.append_column("md5_fingerprint", pa.array(md5s, pa.string()))
     out = out.append_column("rolling_hash", pa.array(rolls, pa.int64()))

@@ -69,8 +69,15 @@ TRUES_SCHEMA = pa.schema(
 )
 
 
-def spo_hash(subj: np.ndarray, pred: np.ndarray, obj: np.ndarray, sign: np.ndarray) -> np.ndarray:
-    return terms.combine_hash_columns(subj, pred, obj, sign.astype(np.int64))
+def spo_hash(subj: np.ndarray, pred: np.ndarray, obj: np.ndarray, sign: np.ndarray,
+             graph: np.ndarray | None = None) -> np.ndarray:
+    """Dedup row key over (s, p, o, sign, graph) — the same fact in two
+    named graphs is two distinct facts (reference QuadStatement,
+    src/statement.rs:117-127)."""
+    cols = [subj, pred, obj, sign.astype(np.int64)]
+    if graph is not None:
+        cols.append(graph)
+    return terms.combine_hash_columns(*cols)
 
 
 # --------------------------------------------------------- instantiation
@@ -92,15 +99,28 @@ def _position_ids(term, df: pd.DataFrame, rule: Rule, rule_idx: int,
     raise TypeError(term)
 
 
-def _substitution_column(df: pd.DataFrame, rule: Rule) -> list:
-    cols = []
-    for i in range(rule.variables):
-        c = f"v{i}"
-        cols.append(df[c].to_numpy(np.int64) if c in df.columns else None)
+def _substitution_column(df: pd.DataFrame, rule: Rule) -> pa.LargeListArray:
+    """Dense substitution vectors (reference ``PatternSubstitution::to_vec``,
+    src/pattern/mod.rs:99-119) as one flat-buffer Arrow LargeListArray —
+    no per-row Python lists (this runs once per firing; at millions of
+    firings/round the list-of-lists build dominated instantiation cost).
+    Unbound variables become nulls inside each fixed-length list."""
     n = len(df)
-    return [
-        [int(c[r]) if c is not None else None for c in cols] for r in range(n)
-    ]
+    k = rule.variables
+    if k == 0 or n == 0:
+        offsets = pa.array(np.zeros(n + 1, dtype=np.int64), pa.int64())
+        return pa.LargeListArray.from_arrays(offsets, pa.array([], pa.int64()))
+    flat = np.zeros(n * k, dtype=np.int64)
+    mask = np.zeros(n * k, dtype=bool)
+    for i in range(k):
+        c = f"v{i}"
+        if c in df.columns:
+            flat[i::k] = df[c].to_numpy(np.int64)
+        else:
+            mask[i::k] = True
+    values = pa.array(flat, pa.int64(), mask=mask)
+    offsets = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int64), pa.int64())
+    return pa.LargeListArray.from_arrays(offsets, values)
 
 
 def _sub_hash(df: pd.DataFrame, rule: Rule) -> np.ndarray:
@@ -131,6 +151,10 @@ def make_triples_fn(rule: Rule, rule_idx: int, round_no: int):
             p = _position_ids(st.triple[1], df, rule, rule_idx, sub_hash)
             o = _position_ids(st.triple[2], df, rule, rule_idx, sub_hash)
             n = len(df)
+            if st.graph is not None:  # quad conclusion (Statement::with_graph)
+                g = _position_ids(st.graph, df, rule, rule_idx, sub_hash)
+            else:
+                g = np.zeros(n, dtype=np.int64)
             parts.append(
                 pa.table(
                     {
@@ -138,9 +162,10 @@ def make_triples_fn(rule: Rule, rule_idx: int, round_no: int):
                         "pred": pa.array(p, pa.int64()),
                         "obj": pa.array(o, pa.int64()),
                         "sign": pa.array(np.full(n, st.sign), pa.bool_()),
+                        "graph": pa.array(g, pa.int64()),
                         "rule_idx": pa.array(np.full(n, rule_idx, dtype=np.int32), pa.int32()),
                         "round": pa.array(np.full(n, round_no, dtype=np.int32), pa.int32()),
-                        "substitution": pa.array(subs, pa.large_list(pa.int64())),
+                        "substitution": subs,
                         "content_sha256": pa.nulls(n, pa.string()),
                     },
                     schema=TRIPLES_SCHEMA,
@@ -151,8 +176,14 @@ def make_triples_fn(rule: Rule, rule_idx: int, round_no: int):
     return fn
 
 
-def make_eqs_fn(rule: Rule, rule_idx: int, round_no: int):
-    stmts = [s for s in rule.conclusion.statements if s.kind == "eq" and s.sign]
+def make_eqs_fn(rule: Rule, rule_idx: int, round_no: int, sign: bool = True):
+    """(a, b) rows for Eq conclusions of the given sign. ``sign=True`` →
+    merge assertions (feed union-find canonicalization); ``sign=False`` →
+    the reference's ``!Eq`` / Ne distinctness assertions
+    (src/statement.rs:15-16, validated at src/system/deduction.rs:120-131)
+    — recorded in the ``nes`` side output and consumed by validation's
+    NotNe arm and by the canonicalizer as merge guards."""
+    stmts = [s for s in rule.conclusion.statements if s.kind == "eq" and s.sign == sign]
 
     def fn(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0 or not stmts:
@@ -208,7 +239,7 @@ def make_trues_fn(rule: Rule, rule_idx: int, round_no: int):
                         "sign": pa.array(np.full(n, st.sign), pa.bool_()),
                         "rule_idx": pa.array(np.full(n, rule_idx, dtype=np.int32), pa.int32()),
                         "round": pa.array(np.full(n, round_no, dtype=np.int32), pa.int32()),
-                        "substitution": pa.array(subs, pa.large_list(pa.int64())),
+                        "substitution": subs,
                     },
                     schema=TRUES_SCHEMA,
                 )
@@ -298,6 +329,52 @@ def rule_call_vars(rule: Rule) -> set[int]:
     return out
 
 
+def make_hash_bucket_fn(buckets: int):
+    """Batch fn appending the (s,p,o,sign,graph) row hash ``h`` and its
+    ``bucket = h % buckets`` — the checkpoint partitioning key."""
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        h = spo_hash(
+            batch["subj"].to_numpy(zero_copy_only=False),
+            batch["pred"].to_numpy(zero_copy_only=False),
+            batch["obj"].to_numpy(zero_copy_only=False),
+            batch["sign"].to_numpy(zero_copy_only=False),
+            batch["graph"].to_numpy(zero_copy_only=False),
+        )
+        b = (h % buckets + buckets) % buckets
+        t = batch.append_column("h", pa.array(h, pa.int64()))
+        return t.append_column("bucket", pa.array(b.astype(np.int32), pa.int32()))
+
+    return add_h
+
+
+def checkpoint_missing(cand_ds, ckpt: str, buckets: int):
+    """Rows of ``cand_ds`` (TRIPLES-schema columns) NOT contained in the
+    bucketed checkpoint under ``ckpt`` — the distributed MissingTriple
+    anti-join: candidates shuffle by bucket, each group probes only its
+    own bucket's ``h`` column across rounds (O(candidates + touched
+    buckets), never a driver collect of the store)."""
+    orig_cols = list(TRIPLES_SCHEMA.names)
+
+    def check_group(tbl: pa.Table) -> pa.Table:
+        h = tbl["h"].to_numpy(zero_copy_only=False)
+        j = int(tbl["bucket"][0].as_py())
+        files = glob.glob(
+            os.path.join(ckpt, "triples", "round-*", f"bucket={j}", "*.parquet")
+        )
+        keep = np.ones(len(h), dtype=bool)
+        if files:
+            existing = pq.read_table(files, columns=["h"])["h"].to_numpy()
+            keep = ~np.isin(h, existing)
+        return tbl.filter(pa.array(keep)).select(orig_cols)
+
+    return (
+        cand_ds.map_batches(make_hash_bucket_fn(buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(check_group, batch_format="pyarrow")
+    )
+
+
 # ------------------------------------------------------------- the engine
 
 
@@ -318,6 +395,7 @@ class FixpointEngine:
         self.terms_df = terms_df  # literal dictionary for expression eval
         os.makedirs(os.path.join(ckpt_dir, "triples"), exist_ok=True)
         os.makedirs(os.path.join(ckpt_dir, "eqs"), exist_ok=True)
+        os.makedirs(os.path.join(ckpt_dir, "nes"), exist_ok=True)
         os.makedirs(os.path.join(ckpt_dir, "trues"), exist_ok=True)
 
     # ----------------------------------------------------------- layout
@@ -372,16 +450,7 @@ class FixpointEngine:
         ckpt = self.ckpt
         buckets = self.buckets
 
-        def add_h(batch: pa.Table) -> pa.Table:
-            h = spo_hash(
-                batch["subj"].to_numpy(zero_copy_only=False),
-                batch["pred"].to_numpy(zero_copy_only=False),
-                batch["obj"].to_numpy(zero_copy_only=False),
-                batch["sign"].to_numpy(zero_copy_only=False),
-            )
-            b = (h % buckets + buckets) % buckets
-            t = batch.append_column("h", pa.array(h, pa.int64()))
-            return t.append_column("bucket", pa.array(b.astype(np.int32), pa.int32()))
+        add_h = make_hash_bucket_fn(buckets)
 
         # stay in pyarrow end-to-end: a pandas round-trip would degrade the
         # all-null substitution list column to Arrow `null` type and break
@@ -477,7 +546,7 @@ class FixpointEngine:
         old_files = self.triple_files(hi=round_no - 2)
         old = ParquetSource(old_files) if old_files else EmptySource()
 
-        cand_parts, eq_parts, true_parts, term_parts = [], [], [], []
+        cand_parts, eq_parts, ne_parts, true_parts, term_parts = [], [], [], [], []
         per_rule = {}
         per_rule_secs = {}
 
@@ -516,8 +585,16 @@ class FixpointEngine:
         # starves the map tasks behind the reserved actors and DEADLOCKS
         # (observed at num_cpus=4: join aggregator idle forever). Budget
         # one rule thread per ~8 CPUs.
+        # cluster_resources() is re-read here EVERY round (not snapshotted
+        # at engine construction) so a cluster that scales mid-run gets the
+        # right budget next round. RAYDF_RULE_THREADS=1 forces serial rule
+        # execution — the safe setting on small/unknown clusters or Ray
+        # versions where concurrent driver-side Dataset jobs are unproven
+        # (one fsspec-import race was already found and stubbed around;
+        # tested against Ray 2.49 local mode).
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        n_workers = max(1, min(len(self.system.rules), cpus // 8))
+        override = int(os.environ.get("RAYDF_RULE_THREADS", "0"))
+        n_workers = override or max(1, min(len(self.system.rules), cpus // 8))
         with ThreadPoolExecutor(max_workers=n_workers) as ex:
             rule_results = list(
                 ex.map(_rule_task, list(enumerate(self.system.rules)))
@@ -543,6 +620,13 @@ class FixpointEngine:
                 eq_parts.append(
                     b.map_batches(make_eqs_fn(rule, rule_idx, round_no), batch_format="pandas")
                 )
+            if any(s.kind == "eq" and not s.sign for s in rule.conclusion.statements):
+                ne_parts.append(
+                    b.map_batches(
+                        make_eqs_fn(rule, rule_idx, round_no, sign=False),
+                        batch_format="pandas",
+                    )
+                )
             if any(s.kind == "true" for s in rule.conclusion.statements):
                 true_parts.append(
                     b.map_batches(make_trues_fn(rule, rule_idx, round_no), batch_format="pandas")
@@ -565,6 +649,13 @@ class FixpointEngine:
             d = os.path.join(self.ckpt, "eqs", f"round-{round_no}")
             _fresh_dir(d)
             eqs.write_parquet(d)
+        if ne_parts:
+            nes = ne_parts[0]
+            for e in ne_parts[1:]:
+                nes = nes.union(e)
+            d = os.path.join(self.ckpt, "nes", f"round-{round_no}")
+            _fresh_dir(d)
+            nes.write_parquet(d)
         if true_parts:
             trues = true_parts[0]
             for t in true_parts[1:]:
@@ -619,6 +710,37 @@ class FixpointEngine:
         if not files:
             return None
         return rd.read_parquet(files)
+
+    def eq_pairs_df(self) -> "pd.DataFrame | None":
+        """Driver-resident (a, b) Eq pairs — zero Ray jobs (plain pyarrow
+        read). Returns None when the metadata row count exceeds
+        DRIVER_PAIR_LIMIT; callers then fall back to ``eq_pairs()`` +
+        distributed min-label propagation. The canonical mapping is
+        driver-resident by design (it is broadcast into the remap stage),
+        so a driver read of the pairs is not a scale smell — only an
+        *unbounded* one would be."""
+        from raydf.canonicalize import DRIVER_PAIR_LIMIT
+
+        files = sorted(
+            glob.glob(os.path.join(self.ckpt, "eqs", "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if rows > DRIVER_PAIR_LIMIT:
+            return None
+        return pq.read_table(files, columns=["a", "b"]).to_pandas()
+
+    def ne_pairs_df(self) -> "pd.DataFrame":
+        """Driver-resident (a, b) !Eq (Ne) assertions — distinctness
+        constraints recorded during deduction. Consumed by validation's
+        NotNe arm and usable as merge guards by the canonicalizer."""
+        files = sorted(
+            glob.glob(os.path.join(self.ckpt, "nes", "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        return pq.read_table(files, columns=["a", "b"]).to_pandas()
 
     def trues(self):
         files = sorted(

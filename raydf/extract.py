@@ -91,56 +91,73 @@ def sha256_column(contents) -> list[str]:
 def extract_structural(batch: pa.Table) -> pa.Table:
     """Stateless flat-map: one source row → k structural triples.
 
-    The per-row loop here only walks short path strings (the regex /
-    content-heavy work lives in MentionExtractor); cost is dominated by
-    sha256 over content, which is C-speed.
+    Vectorized: all node strings come from pandas ``str`` kernels; the
+    only per-depth work is one masked slice-join per directory level
+    (paths are shallow — ≤ ~10 levels — while rows are millions, so the
+    loop runs over LEVELS, never rows). This is the single biggest 100 TB
+    stage; the former per-row emit loop was its dominant Python cost.
+    sha256 over content stays a C-speed hashlib loop.
     """
-    repo = batch["repo"].to_pylist()
-    path = batch["path"].to_pylist()
-    commit = batch["commit"].to_pylist()
-    lang = batch["lang"].to_pylist()
-    sha = sha256_column(batch["content"].to_pylist())
+    n_in = len(batch)
+    if n_in == 0:
+        return WIDE_SCHEMA.empty_table()
+    idx = pd.RangeIndex(n_in)
+    repo = pd.Series(batch["repo"].to_pylist(), index=idx)
+    path = pd.Series(batch["path"].to_pylist(), index=idx)
+    commit = pd.Series(batch["commit"].to_pylist(), index=idx)
+    lang = pd.Series(batch["lang"].to_pylist(), index=idx)
+    sha = pd.Series(sha256_column(batch["content"].to_pylist()), index=idx)
 
-    out = {k: [] for k in ("s_kind", "s_lex", "p_kind", "p_lex", "o_kind", "o_lex", "o_dt", "sha")}
+    repo_node = "repo:" + repo
+    file_node = "file:" + repo + "/" + path
+    parts = path.str.split("/")
+    ndirs = parts.str.len() - 1  # directory levels above the file
+    maxdirs = int(ndirs.max())
 
-    def emit(s_lex, p_lex, o_kind, o_lex, o_dt, h):
-        out["s_kind"].append(KIND_IRI)
-        out["s_lex"].append(s_lex)
-        out["p_kind"].append(KIND_IRI)
-        out["p_lex"].append(p_lex)
-        out["o_kind"].append(o_kind)
-        out["o_lex"].append(o_lex)
-        out["o_dt"].append(o_dt)
-        out["sha"].append(h)
+    def frame(s, p, o, h, o_kind=KIND_IRI, o_dt=None):
+        n = len(s)
+        return pd.DataFrame(
+            {
+                "s_lex": np.asarray(s, dtype=object),
+                "p_lex": np.full(n, p, dtype=object),
+                "o_kind": np.full(n, o_kind, dtype=np.uint8),
+                "o_lex": np.asarray(o, dtype=object),
+                "o_dt": np.full(n, o_dt, dtype=object),
+                "sha": np.asarray(h, dtype=object),
+            }
+        )
 
-    for r, p, c, lg, h in zip(repo, path, commit, lang, sha):
-        repo_node = f"repo:{r}"
-        file_node = f"file:{r}/{p}"
-        parts = p.split("/")
-        prev = repo_node
-        for k in range(len(parts) - 1):
-            dir_node = f"dir:{r}/{'/'.join(parts[: k + 1])}"
-            emit(prev, KG_CONTAINS, KIND_IRI, dir_node, None, h)
-            prev = dir_node
-        emit(prev, KG_CONTAINS, KIND_IRI, file_node, None, h)
-        emit(file_node, KG_WRITTEN_IN, KIND_IRI, f"lang:{lg}", None, h)
-        emit(file_node, KG_AT_COMMIT, KIND_LITERAL, c, XSD_STRING, h)
-        stem = parts[-1].rsplit(".", 1)[0]
-        emit(file_node, KG_DECLARES_MODULE, KIND_IRI, f"module:{stem}", None, h)
+    frames = []
+    prev = repo_node  # per-row containment source at the current level
+    dir_prefix = "dir:" + repo + "/"
+    for d in range(maxdirs):
+        has = ndirs > d
+        cur = dir_prefix[has] + parts[has].str[: d + 1].str.join("/")
+        frames.append(frame(prev[has], KG_CONTAINS, cur, sha[has]))
+        prev = prev.copy()
+        prev[has] = cur
+    frames.append(frame(prev, KG_CONTAINS, file_node, sha))
+    frames.append(frame(file_node, KG_WRITTEN_IN, "lang:" + lang, sha))
+    frames.append(
+        frame(file_node, KG_AT_COMMIT, commit, sha, o_kind=KIND_LITERAL, o_dt=XSD_STRING)
+    )
+    stem = parts.str[-1].str.rsplit(".", n=1).str[0]
+    frames.append(frame(file_node, KG_DECLARES_MODULE, "module:" + stem, sha))
 
-    t = _wide_table(
+    all_df = pd.concat(frames, ignore_index=True)
+    n = len(all_df)
+    return _wide_table(
         {
-            "s_kind": out["s_kind"],
-            "s_lex": out["s_lex"],
-            "p_kind": out["p_kind"],
-            "p_lex": out["p_lex"],
-            "o_kind": out["o_kind"],
-            "o_lex": out["o_lex"],
-            "o_dt": out["o_dt"],
-            "sha": out["sha"],
+            "s_kind": np.full(n, KIND_IRI, np.uint8),
+            "s_lex": all_df["s_lex"].to_numpy(),
+            "p_kind": np.full(n, KIND_IRI, np.uint8),
+            "p_lex": all_df["p_lex"].to_numpy(),
+            "o_kind": all_df["o_kind"].to_numpy(),
+            "o_lex": all_df["o_lex"].to_numpy(),
+            "o_dt": all_df["o_dt"].to_numpy(),
+            "sha": all_df["sha"].to_numpy(),
         }
     )
-    return t
 
 
 _KEYWORDS = frozenset(
@@ -359,6 +376,7 @@ def intern_wide_batch(batch: pa.Table) -> pa.Table:
             "pred": pa.array(cols["pred"], pa.int64()),
             "obj": pa.array(cols["obj"], pa.int64()),
             "sign": batch["sign"],
+            "graph": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
             "rule_idx": pa.nulls(n, pa.int32()),
             "round": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
             "substitution": pa.nulls(n, pa.large_list(pa.int64())),

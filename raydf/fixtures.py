@@ -97,20 +97,24 @@ def source_code_dataset(num_files: int):
     )
 
 
-def triples_from_terms(rows, *, sign=None):
+def triples_from_terms(rows, *, sign=None, graphs=None):
     """Tiny literal triple graphs for tests — the ``grdf_triples!`` analog
     (reference src/lib.rs:50-53). ``rows``: list of (s, p, o) where each
-    position is a raydf.rules.ConstTerm. Returns (triples_table,
+    position is a raydf.rules.ConstTerm. ``graphs``: optional per-row
+    named-graph ConstTerm (or None = default graph) — the
+    ``Statement::with_graph`` quad form. Returns (triples_table,
     terms_table) in the engine's interned schemas."""
     import pyarrow as pa
 
-    from raydf.schema import TRIPLES_SCHEMA
+    from raydf.schema import GRAPH_DEFAULT, TRIPLES_SCHEMA
     from raydf.terms import terms_table
 
     sign = sign or [True] * len(rows)
+    graphs = graphs or [None] * len(rows)
     subj = [t[0].id for t in rows]
     pred = [t[1].id for t in rows]
     obj = [t[2].id for t in rows]
+    gids = [GRAPH_DEFAULT if g is None else g.id for g in graphs]
     n = len(rows)
     triples = pa.table(
         {
@@ -118,6 +122,7 @@ def triples_from_terms(rows, *, sign=None):
             "pred": pa.array(pred, pa.int64()),
             "obj": pa.array(obj, pa.int64()),
             "sign": pa.array(sign, pa.bool_()),
+            "graph": pa.array(gids, pa.int64()),
             "rule_idx": pa.nulls(n, pa.int32()),
             "round": pa.array([0] * n, pa.int32()),
             "substitution": pa.nulls(n, pa.large_list(pa.int64())),
@@ -126,8 +131,8 @@ def triples_from_terms(rows, *, sign=None):
         schema=TRIPLES_SCHEMA,
     )
     seen = []
-    for t in rows:
-        for term in t:
+    for t, g in zip(rows, graphs):
+        for term in list(t) + ([g] if g is not None else []):
             tup = (term.kind, term.lexical, term.datatype)
             if tup not in seen:
                 seen.append(tup)

@@ -24,6 +24,19 @@ import ray
 BROADCAST_ROW_LIMIT = 2_000_000  # above this, broadcasting a side is a smell
 
 
+def default_partitions(floor: int = 32) -> int:
+    """Partition count for coarse hash-partitioned group maps: scales with
+    the cluster CPU count (each partition is ONE in-memory pandas frame per
+    task — a fixed 32 risks per-task OOM when a big corpus lands on a big
+    cluster, and starves parallelism there too)."""
+    try:
+        if ray.is_initialized():
+            return max(floor, 2 * int(ray.cluster_resources().get("CPU", 0)))
+    except Exception:
+        pass
+    return floor
+
+
 def distinct(ds, cols: Sequence[str], *, pre_dedup: bool = True, num_partitions: int = 32):
     """Distinct rows by ``cols`` (keeps first row per key, arbitrary order).
 
@@ -55,7 +68,7 @@ def distinct(ds, cols: Sequence[str], *, pre_dedup: bool = True, num_partitions:
     )
 
 
-def partitioned_group_map(ds, keys: Sequence[str], partition_fn, *, num_partitions: int = 32):
+def partitioned_group_map(ds, keys: Sequence[str], partition_fn, *, num_partitions: int | None = None):
     """Run ``partition_fn`` once per coarse hash partition of ``keys``.
 
     The scalable replacement for ``ds.groupby(keys).map_groups(fn)`` when
@@ -64,9 +77,11 @@ def partitioned_group_map(ds, keys: Sequence[str], partition_fn, *, num_partitio
     any key land in the same partition, so ``partition_fn`` sees complete
     groups and does its own in-process (vectorized or pandas-groupby)
     per-key work; Python crosses the Ray boundary only ``num_partitions``
-    times."""
+    times. ``num_partitions=None`` → :func:`default_partitions`
+    (CPU-scaled: each partition is one in-memory frame per task, so a
+    fixed small count risks per-task OOM on large corpora)."""
     keys = list(keys)
-    P = num_partitions
+    P = num_partitions if num_partitions is not None else default_partitions()
 
     def pre(df: pd.DataFrame):
         h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
@@ -133,6 +148,12 @@ def partitioned_merge_join(left, right, on: Sequence[str], left_cols: Sequence[s
     left_cols, right_cols = list(left_cols), list(right_cols)
     lonly = [c for c in left_cols if c not in on]
     ronly = [c for c in right_cols if c not in on]
+    overlap = set(lonly) & set(ronly)
+    assert not overlap, (
+        f"non-key columns {sorted(overlap)} exist on both sides — pandas "
+        "merge would suffix them (_x/_y) and the output projection would "
+        "KeyError; rename one side first"
+    )
     all_cols = on + lonly + ronly
     P = num_partitions
 

@@ -50,6 +50,14 @@ class TripleSource:
     def scan(self, sp: SignedPattern):  # -> rd.Dataset | None
         raise NotImplementedError
 
+    def upper_bound(self) -> int | None:
+        """Cheap (no-execution) upper bound on rows any pattern scan of
+        this source can return, or None when unknowable without running.
+        Used by the cascade to pick broadcast vs shuffle joins *without*
+        materializing intermediate bindings (the round-latency killer:
+        every mid-cascade ``materialize()`` is its own Ray job)."""
+        return None
+
 
 @dataclass
 class DatasetSource(TripleSource):
@@ -60,6 +68,15 @@ class DatasetSource(TripleSource):
     def scan(self, sp: SignedPattern):
         flt = make_pattern_filter(sp)
         return self.ds.map_batches(flt, batch_format="pyarrow")
+
+    def upper_bound(self) -> int | None:
+        # count() is O(1) metadata on a MaterializedDataset; on a lazy
+        # Dataset it would EXECUTE the plan — only use it when free.
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(self.ds, MaterializedDataset):
+            return self.ds.count()
+        return None
 
 
 @dataclass
@@ -73,20 +90,35 @@ class ParquetSource(TripleSource):
         if not self.files:
             return None
         expr = pads.field("sign") == sp.sign
-        for pos, t in zip(POSITIONS, (sp.pattern.s, sp.pattern.p, sp.pattern.o)):
+        pos_terms = list(zip(POSITIONS, (sp.pattern.s, sp.pattern.p, sp.pattern.o)))
+        if sp.pattern.g is not None:
+            pos_terms.append(("graph", sp.pattern.g))
+        for pos, t in pos_terms:
             if isinstance(t, ConstTerm):
                 expr = expr & (pads.field(pos) == t.id)
         ds = rd.read_parquet(
-            self.files, columns=["subj", "pred", "obj", "sign"], filter=expr
+            self.files, columns=["subj", "pred", "obj", "sign", "graph"], filter=expr
         )
         # row-group pruning is coarse; re-apply the exact filter per batch
         flt = make_pattern_filter(sp)
         return ds.map_batches(flt, batch_format="pyarrow")
 
+    def upper_bound(self) -> int | None:
+        if not hasattr(self, "_ub"):
+            import pyarrow.parquet as pq
+
+            self._ub = sum(
+                pq.ParquetFile(f).metadata.num_rows for f in self.files
+            )
+        return self._ub
+
 
 class EmptySource(TripleSource):
     def scan(self, sp: SignedPattern):
         return None
+
+    def upper_bound(self) -> int | None:
+        return 0
 
 
 # ------------------------------------------------------- per-pattern match
@@ -102,7 +134,10 @@ def make_pattern_filter(sp: SignedPattern):
     consts = []  # (position, term_id)
     var_first: dict[int, str] = {}  # var idx -> first position holding it
     eq_pairs = []  # (pos_a, pos_b) for repeated vars
-    for pos, t in zip(POSITIONS, (pattern.s, pattern.p, pattern.o)):
+    pos_terms = list(zip(POSITIONS, (pattern.s, pattern.p, pattern.o)))
+    if pattern.g is not None:  # quad pattern: constrain/bind the graph too
+        pos_terms.append(("graph", pattern.g))
+    for pos, t in pos_terms:
         if isinstance(t, ConstTerm):
             consts.append((pos, t.id))
         elif isinstance(t, Var):
@@ -179,12 +214,38 @@ def find_bindings(items: list, *, num_partitions: int = 32):
     Returns a LAZY Dataset of bindings (one int64 column per hypothesis
     variable; may contain duplicates — callers dedup once at the end), or
     None when no match is possible. Single-pattern conjunctions stay a
-    pure scan+filter pipeline: zero intermediate executions. Multi-pattern
-    cascades materialize only the accumulated side of each join (needed to
-    pick broadcast vs shuffle and to short-circuit empty results)."""
+    pure scan+filter pipeline: zero intermediate executions.
+
+    Multi-pattern cascades avoid mid-cascade ``materialize()`` whenever a
+    cheap metadata upper bound exists for the accumulated side (Parquet
+    file stats / materialized count — ``TripleSource.upper_bound``):
+
+    * bound ≤ BROADCAST_BINDINGS_LIMIT → collect the small side once
+      (``to_pandas``, the single execution that was needed anyway to ship
+      it) and broadcast-join; empty sides short-circuit the cascade.
+    * bound > limit → Ray's native hash join on a fully LAZY left side —
+      zero intermediate executions; the whole cascade fuses into the
+      consumer's streaming job.
+    * no bound (already-joined accumulations in 3+-pattern cascades) →
+      the exact path: materialize + count, as before.
+
+    This was the dominant share of the measured ~118 s fixed overhead per
+    headline run (one Ray job per pattern per rule per round)."""
     ordered = order_patterns(items)
     bindings = None
+    bindings_ub: int | None = None  # upper bound on accumulated rows
+    bindings_checked = False  # nonemptiness established (exact count/peek)
     bound: set[int] = set()
+
+    def _empty(ds) -> bool:
+        # cheap nonemptiness peek: early-terminates on the first row.
+        # NEEDED before the native hash join — Ray 2.49's join aggregator
+        # crashes (ArrowInvalid: no match for key FieldRef) when one side
+        # contributes ZERO blocks overall: the empty partition table is
+        # built schema-less. Partition-level empties are fine as long as
+        # the side has ≥1 row (verified by micro-repro) — real blocks'
+        # hash shards carry the schema to every partition.
+        return ds.limit(1).count() == 0
 
     for sp, source, _prio in ordered:
         matched = match_pattern(source, sp)
@@ -193,18 +254,29 @@ def find_bindings(items: list, *, num_partitions: int = 32):
         pvars = sp.pattern.vars
         if bindings is None:
             bindings = matched  # lazy
+            bindings_ub = source.upper_bound()
+            bindings_checked = False
         else:
-            # the accumulated side must be sized → materialize it now
-            bindings = bindings.materialize()
-            if bindings.count() == 0:
+            if bindings_ub is None:
+                # unknown size → the exact path: materialize + count
+                bindings = bindings.materialize()
+                bindings_ub = bindings.count()
+                bindings_checked = True
+            if bindings_ub == 0:
                 return None
             shared = sorted(bound & pvars)
+            small = None
+            if bindings_ub <= BROADCAST_BINDINGS_LIMIT:
+                small = bindings.to_pandas()
+                if len(small) == 0:
+                    return None
             if shared:
                 keys = [f"v{i}" for i in shared]
-                if bindings.count() <= BROADCAST_BINDINGS_LIMIT:
-                    small = bindings.to_pandas()
+                if small is not None:
                     bindings = joins.broadcast_join(matched, small, on=keys)
                 else:
+                    if (not bindings_checked and _empty(bindings)) or _empty(matched):
+                        return None
                     # big-big: Ray's native hash join. A/B at 1M files /
                     # 32 CPUs (transitive rule): native@16 partitions 17 s,
                     # native@32 45 s, partitioned_merge_join@64 48 s — keep
@@ -220,17 +292,22 @@ def find_bindings(items: list, *, num_partitions: int = 32):
                     )
             else:
                 # cartesian: rare (disconnected hypothesis); keyed cross join
-                left = joins.cross_join_key(bindings)
                 right = joins.cross_join_key(matched)
-                if bindings.count() <= BROADCAST_BINDINGS_LIMIT:
+                if small is not None:
+                    small["__x"] = 0
                     bindings = joins.broadcast_join(
-                        right, left.to_pandas(), on=["__x"]
+                        right, small, on=["__x"]
                     ).drop_columns(["__x"])
                 else:
+                    if (not bindings_checked and _empty(bindings)) or _empty(matched):
+                        return None
+                    left = joins.cross_join_key(bindings)
                     bindings = joins.hash_join(
                         left, right, on=["__x"],
                         num_partitions=_join_partitions(num_partitions),
                     ).drop_columns(["__x"])
+            bindings_ub = None  # join output size is unbounded a priori
+            bindings_checked = False
         bound |= pvars
 
     return bindings

@@ -218,8 +218,12 @@ def kg_pipeline(
             engine.load_round(unchanged_ds, 0)
             engine.load_round(changed_ds, 1)
         engine.run(max_rounds=max_rounds)
-        eqs = engine.eq_pairs()
-        mapping = canonical_mapping(eqs)
+        # driver pq read (no Ray job) when pairs are small; else the
+        # distributed min-label path via the Dataset view
+        eqs_df = engine.eq_pairs_df()
+        mapping = canonical_mapping(
+            eqs_df if eqs_df is not None else engine.eq_pairs()
+        )
         # only *new* merges (w.r.t. the already-applied composition) matter
         if len(mapping) == 0:
             break
@@ -303,7 +307,10 @@ def _premerge_mapping(stated_mat, system: R.System, *, num_partitions: int) -> p
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
-    return canonical_mapping(out)
+    # collect ONCE (the mapping is driver-resident anyway) — calling
+    # canonical_mapping on the lazy Dataset would execute it twice
+    # (count + to_pandas)
+    return canonical_mapping(out.to_pandas()[["a", "b"]])
 
 
 def R_const_terms_table(system: R.System) -> pa.Table:

@@ -59,19 +59,30 @@ ExprNode = object  # Var | ConstTerm | Call
 
 @dataclass(frozen=True)
 class Pattern:
-    """Hypothesis triple pattern; positions are Var or ConstTerm."""
+    """Hypothesis triple/quad pattern; positions are Var or ConstTerm.
+
+    ``g`` is the named-graph position (reference quad dataset traits,
+    src/statement.rs:117-127): ``None`` matches facts in ANY graph (the
+    triple-pattern view over a quad store), a Var binds the graph term id,
+    a ConstTerm restricts to one graph (``default_graph()`` = the unnamed
+    graph, id 0)."""
 
     s: object
     p: object
     o: object
+    g: object = None
+
+    @property
+    def positions(self) -> tuple:
+        return (self.s, self.p, self.o) + ((self.g,) if self.g is not None else ())
 
     @property
     def vars(self) -> frozenset[int]:
-        return frozenset(t.idx for t in (self.s, self.p, self.o) if isinstance(t, Var))
+        return frozenset(t.idx for t in self.positions if isinstance(t, Var))
 
     @property
     def num_consts(self) -> int:
-        return sum(1 for t in (self.s, self.p, self.o) if isinstance(t, ConstTerm))
+        return sum(1 for t in self.positions if isinstance(t, ConstTerm))
 
 
 @dataclass(frozen=True)
@@ -82,13 +93,18 @@ class SignedPattern:
 
 @dataclass(frozen=True)
 class Statement:
-    """Conclusion statement (reference src/statement.rs:11-20)."""
+    """Conclusion statement (reference src/statement.rs:11-20).
+
+    ``graph``: optional named-graph term for triple conclusions — the
+    reference's ``Statement::with_graph`` → ``QuadStatement::Quad``
+    (src/statement.rs:23-29); None ⇒ the default graph."""
 
     sign: bool
     kind: str  # 'triple' | 'eq' | 'true'
     triple: tuple | None = None  # (ExprNode, ExprNode, ExprNode)
     eq: tuple | None = None  # (ExprNode, ExprNode)
     expr: object | None = None  # ExprNode
+    graph: object | None = None  # ExprNode | None (triple statements only)
 
 
 @dataclass(frozen=True)
@@ -118,13 +134,19 @@ class Rule:
                     walk_expr(a)
 
         for sp in self.hypothesis:
-            for t in (sp.pattern.s, sp.pattern.p, sp.pattern.o):
+            for t in sp.pattern.positions:
                 if isinstance(t, ConstTerm):
                     out.append(t)
         for st in self.conclusion.statements:
-            for e in (st.triple or ()) + (st.eq or ()) + ((st.expr,) if st.expr else ()):
+            for e in (st.triple or ()) + (st.eq or ()) + (
+                (st.expr,) if st.expr else ()
+            ) + ((st.graph,) if st.graph is not None else ()):
                 walk_expr(e)
-        return out
+        # id-overriding subclasses (pre-interned ints, the default graph)
+        # must not enter the term dictionary: their id is NOT the hash of
+        # (kind, lexical, datatype), so re-hashing their lexical would mint
+        # a dangling dictionary row
+        return [c for c in out if type(c) is ConstTerm]
 
 
 @dataclass
@@ -177,6 +199,8 @@ def parse_term(spec) -> object:
             return ConstTerm(KIND_LITERAL, str(spec["regex"]), REGEX_DATATYPE)
         if "call" in spec:
             return Call(spec["call"], tuple(parse_term(a) for a in spec["args"]))
+        if "default_graph" in spec:
+            return default_graph()
     raise ValueError(f"unparseable term spec: {spec!r}")
 
 
@@ -196,7 +220,11 @@ def parse_statement(spec: dict) -> Statement:
     sign = _parse_sign(spec.get("sign", "+"))
     kind = spec.get("kind", "triple")
     if kind == "triple":
-        return Statement(sign, "triple", triple=tuple(parse_term(t) for t in spec["triple"]))
+        return Statement(
+            sign, "triple",
+            triple=tuple(parse_term(t) for t in spec["triple"]),
+            graph=parse_term(spec["graph"]) if "graph" in spec else None,
+        )
     if kind == "eq":
         return Statement(sign, "eq", eq=tuple(parse_term(t) for t in spec["eq"]))
     if kind == "true":
@@ -208,7 +236,10 @@ def parse_rule(spec: dict, name: str = "") -> Rule:
     hyp = tuple(
         SignedPattern(
             _parse_sign(h.get("sign", "+")),
-            Pattern(*(parse_term(t) for t in h["triple"])),
+            Pattern(
+                *(parse_term(t) for t in h["triple"]),
+                g=parse_term(h["graph"]) if "graph" in h else None,
+            ),
         )
         for h in spec["hypothesis"]
     )
@@ -267,12 +298,25 @@ def regex(p: str) -> ConstTerm:
     return ConstTerm(KIND_LITERAL, p, REGEX_DATATYPE)
 
 
-def pat(s, p, o, sign: bool = True) -> SignedPattern:
-    return SignedPattern(sign, Pattern(s, p, o))
+class _DefaultGraph(ConstTerm):
+    @property
+    def id(self) -> int:  # the unnamed graph's fixed sentinel id
+        from raydf.schema import GRAPH_DEFAULT
+
+        return GRAPH_DEFAULT
 
 
-def triple_st(s, p, o, sign: bool = True) -> Statement:
-    return Statement(sign, "triple", triple=(s, p, o))
+def default_graph() -> ConstTerm:
+    """Constant matching only facts in the default (unnamed) graph."""
+    return _DefaultGraph(kind=0, lexical="", datatype=None)
+
+
+def pat(s, p, o, sign: bool = True, *, g=None) -> SignedPattern:
+    return SignedPattern(sign, Pattern(s, p, o, g))
+
+
+def triple_st(s, p, o, sign: bool = True, *, graph=None) -> Statement:
+    return Statement(sign, "triple", triple=(s, p, o), graph=graph)
 
 
 def eq_st(a, b, sign: bool = True) -> Statement:

@@ -36,12 +36,21 @@ TERMS_SCHEMA = pa.schema(
 
 # sign: True = positive fact, False = explicitly stored negative fact
 # (reference src/sign.rs:126-129 — NOT negation-as-failure).
+# graph: named-graph term id, 0 = default graph / no graph (the reference's
+# Statement::with_graph → QuadStatement::Quad optional graph,
+# src/statement.rs:23-29, 117-127). A 0 sentinel instead of a nullable
+# column keeps every id kernel (hash/remap/join) on dense int64 — arrow
+# int64-with-nulls degrades to float64 in pandas and corrupts full-range
+# term ids (the known >2^53 trap).
+GRAPH_DEFAULT = 0
+
 TRIPLES_SCHEMA = pa.schema(
     [
         pa.field("subj", pa.int64()),
         pa.field("pred", pa.int64()),
         pa.field("obj", pa.int64()),
         pa.field("sign", pa.bool_()),
+        pa.field("graph", pa.int64()),
         pa.field("rule_idx", pa.int32(), nullable=True),  # null = Cause::Stated
         pa.field("round", pa.int32()),
         pa.field("substitution", pa.large_list(pa.int64()), nullable=True),

@@ -56,10 +56,9 @@ def _violation_table(reasons, rule_idx, stmt_idx, details=None) -> pa.Table:
 
 
 def dataset_hash_set(triples_ds) -> np.ndarray:
-    """Sorted (s,p,o,sign)-hash array of a triple store (broadcast probe side).
-
-    For engine-scale stores use the bucketed checkpoint probe
-    (raydf.deduce.FixpointEngine._dedup_and_write) instead of collecting."""
+    """Sorted (s,p,o,sign,graph)-hash array of a triple store (broadcast
+    probe side). Only for small/test stores — engine-scale stores use
+    :class:`BucketedCheckpointProbe` (no driver collect)."""
 
     def _h(batch: pa.Table) -> pa.Table:
         h = spo_hash(
@@ -67,6 +66,7 @@ def dataset_hash_set(triples_ds) -> np.ndarray:
             batch["pred"].to_numpy(zero_copy_only=False),
             batch["obj"].to_numpy(zero_copy_only=False),
             batch["sign"].to_numpy(zero_copy_only=False),
+            batch["graph"].to_numpy(zero_copy_only=False),
         )
         return pa.table({"h": pa.array(np.unique(h), pa.int64())})
 
@@ -74,18 +74,71 @@ def dataset_hash_set(triples_ds) -> np.ndarray:
     return np.unique(hs)
 
 
+class BroadcastHashProbe:
+    """Membership probe against a broadcast sorted hash set — fine for
+    test-scale stores; collects every (s,p,o,sign,graph) hash to the
+    driver once."""
+
+    def __init__(self, triples_ds):
+        import ray
+
+        self.ref = ray.put(dataset_hash_set(triples_ds))
+
+    def missing(self, cand_ds):
+        import ray
+
+        ref = self.ref
+
+        def _filt(tbl: pa.Table) -> pa.Table:
+            if len(tbl) == 0:
+                return tbl
+            h = spo_hash(
+                tbl["subj"].to_numpy(zero_copy_only=False),
+                tbl["pred"].to_numpy(zero_copy_only=False),
+                tbl["obj"].to_numpy(zero_copy_only=False),
+                tbl["sign"].to_numpy(zero_copy_only=False),
+                tbl["graph"].to_numpy(zero_copy_only=False),
+            )
+            known = ray.get(ref)
+            pos = np.searchsorted(known, h)
+            pos_c = np.clip(pos, 0, max(0, len(known) - 1))
+            hit = (known[pos_c] == h) if len(known) else np.zeros(len(h), bool)
+            return tbl.filter(pa.array(~hit))
+
+        return cand_ds.map_batches(_filt, batch_format="pyarrow")
+
+
+class BucketedCheckpointProbe:
+    """Engine-scale membership probe: candidates shuffle by their
+    (s,p,o,sign,graph)-hash bucket and each group probes ONLY its own
+    bucket's ``h`` column across the checkpoint's rounds — the exact
+    mechanism of the fixpoint anti-join (deduce.FixpointEngine
+    ``_dedup_and_write``), wired into validation so MissingTriple checks
+    never collect the store to the driver."""
+
+    def __init__(self, ckpt_dir: str, buckets: int):
+        self.ckpt = ckpt_dir
+        self.buckets = buckets
+
+    def missing(self, cand_ds):
+        from raydf.deduce import checkpoint_missing
+
+        return checkpoint_missing(cand_ds, self.ckpt, self.buckets)
+
+
 def validate_rule(
     rule: Rule,
     rule_idx: int,
     source: TripleSource,
     *,
-    store_hashes: np.ndarray,
+    probe,
     terms_df: pd.DataFrame | None = None,
     num_partitions: int = 8,
 ):
-    """Violations Dataset for one rule (empty ⇒ rule validates Ok)."""
-    import ray
+    """Violations Dataset for one rule (empty ⇒ rule validates Ok).
 
+    ``probe``: a store-membership probe (BroadcastHashProbe for small
+    stores, BucketedCheckpointProbe for FixpointEngine checkpoints)."""
     bindings = rule_bindings(rule, source, num_partitions=num_partitions)
     if bindings is None or bindings.count() == 0:
         return rd.from_arrow(VIOLATIONS_SCHEMA.empty_table())
@@ -99,7 +152,6 @@ def validate_rule(
         bindings = expr_mod.resolve_vars(bindings, sorted(need), terms_df).materialize()
 
     parts = []
-    href = ray.put(store_hashes)
 
     for stmt_idx, st in enumerate(rule.conclusion.statements):
         if st.kind == "triple":
@@ -110,24 +162,15 @@ def validate_rule(
                 rule_idx, -1,
             )
 
-            def check_triples(df: pd.DataFrame, _fn=tri_fn, _si=stmt_idx) -> pa.Table:
-                tbl = _fn(df)
-                if len(tbl) == 0:
-                    return VIOLATIONS_SCHEMA.empty_table()
-                h = spo_hash(
-                    tbl["subj"].to_numpy(zero_copy_only=False),
-                    tbl["pred"].to_numpy(zero_copy_only=False),
-                    tbl["obj"].to_numpy(zero_copy_only=False),
-                    tbl["sign"].to_numpy(zero_copy_only=False),
-                )
-                known = ray.get(href)
-                pos = np.searchsorted(known, h)
-                pos_c = np.clip(pos, 0, max(0, len(known) - 1))
-                hit = (known[pos_c] == h) if len(known) else np.zeros(len(h), bool)
-                missing = int((~hit).sum())
-                return _violation_table(["MissingTriple"] * missing, rule_idx, _si)
+            cand = bindings.map_batches(
+                lambda df, _fn=tri_fn: _fn(df), batch_format="pandas"
+            )
+            missing = probe.missing(cand)
 
-            parts.append(bindings.map_batches(check_triples, batch_format="pandas"))
+            def to_viol(tbl: pa.Table, _si=stmt_idx) -> pa.Table:
+                return _violation_table(["MissingTriple"] * len(tbl), rule_idx, _si)
+
+            parts.append(missing.map_batches(to_viol, batch_format="pyarrow"))
 
         elif st.kind == "eq":
 
@@ -183,6 +226,24 @@ def _resolve_ids(term, df: pd.DataFrame, rule: Rule) -> np.ndarray:
     raise TypeError(f"eq over expression calls not supported here: {term!r}")
 
 
+def validate_engine(
+    system: System,
+    engine,
+    *,
+    terms_df: pd.DataFrame | None = None,
+    first_only: bool = False,
+) -> dict:
+    """Validate a FixpointEngine checkpoint store: sources scan the
+    checkpoint Parquet (column-pruned, constant-pushdown) and MissingTriple
+    membership uses the bucketed checkpoint probe — NO driver hash collect
+    anywhere, so this is the engine-scale validation entry point."""
+    from raydf.match import ParquetSource
+
+    source = ParquetSource(engine.triple_files())
+    probe = BucketedCheckpointProbe(engine.ckpt, engine.buckets)
+    return _validate(system, source, probe, terms_df=terms_df, first_only=first_only)
+
+
 def validate_system(
     system: System,
     triples_ds,
@@ -194,11 +255,22 @@ def validate_system(
     src/system/mod.rs:188-232). Returns {'ok': bool, 'violations': pa.Table}."""
     triples_ds = triples_ds.materialize()
     source = DatasetSource(triples_ds)
-    store_hashes = dataset_hash_set(triples_ds)
+    probe = BroadcastHashProbe(triples_ds)
+    return _validate(system, source, probe, terms_df=terms_df, first_only=first_only)
+
+
+def _validate(
+    system: System,
+    source: TripleSource,
+    probe,
+    *,
+    terms_df: pd.DataFrame | None = None,
+    first_only: bool = False,
+) -> dict:
     tables = []
     for rule_idx, rule in enumerate(system.rules):
         v = validate_rule(
-            rule, rule_idx, source, store_hashes=store_hashes, terms_df=terms_df
+            rule, rule_idx, source, probe=probe, terms_df=terms_df
         )
         if first_only:
             head = v.limit(1).to_pandas()

@@ -47,15 +47,36 @@ def test_exact_dedup_keeps_min_id():
 
 
 def test_minhash_finds_planted_neardups(near_dup_docs):
-    docs_df = near_dup_docs.to_pandas()
     survivors, mapping = dedup.minhash_dedup(
-        rd.from_arrow(near_dup_docs), docs_df, threshold=0.7
+        rd.from_arrow(near_dup_docs), threshold=0.7
     )
     # shingling lowercases, so doc 12 (= BASE uppercased) joins cluster1 and
     # the two planted clusters merge into one; min-id 10 survives it
     dropped = set(mapping["node"])
     assert dropped == {11, 12, 13}
-    assert set(survivors["doc_id"]) == set(range(11))
+    # survivors is a LAZY Dataset (anti-join of docs against dropped ids)
+    assert set(survivors.to_pandas()["doc_id"]) == set(range(11))
+
+
+def test_jaccard_verify_join_path_matches_broadcast(near_dup_docs):
+    """The scale path (pairs ⋈ docs double hash-join) must reproduce the
+    broadcast verifier exactly — same surviving pairs, same jaccard values."""
+    docs = rd.from_arrow(near_dup_docs)
+    pairs = dedup.minhash_candidate_pairs(docs, concurrency=1).materialize()
+    via_join = (
+        dedup.jaccard_verify_joined(pairs, docs, threshold=0.7)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    via_bcast = (
+        dedup.jaccard_verify(pairs, near_dup_docs.to_pandas(), threshold=0.7)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(via_join[["a", "b", "jaccard"]], via_bcast[["a", "b", "jaccard"]])
+    assert len(via_join) > 0
 
 
 def test_minhash_jaccard_estimate_unbiased():
@@ -136,9 +157,32 @@ def test_embedding_neardup_planted():
 
 def test_ivf_search_finds_planted_neighbor():
     tbl, m = embeddings_table(400, 16, planted=[(2, 311)])
-    indexed = ann.ivf_index(rd.from_arrow(tbl), 16, n_centroids=8)
-    out = ann.ivf_search(indexed, m[2], k=3, nprobe=3, n_centroids=8)
+    indexed, cents = ann.ivf_index(rd.from_arrow(tbl), 16, n_centroids=8)
+    out = ann.ivf_search(indexed, m[2], cents, k=3, nprobe=3)
     assert {2, 311} <= set(out["vec_id"])
+
+
+def test_ivf_trained_centroids_recall():
+    """k-means-trained IVF must reach recall@10 ≥ 0.9 vs brute force on a
+    clustered set (10 planted clusters of 40 points each)."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 16)).astype(np.float32)
+    pts = np.concatenate(
+        [c + 0.05 * rng.standard_normal((40, 16)).astype(np.float32) for c in centers]
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(pts), dtype=np.int64), pa.int64()),
+            "embedding": pa.array(pts.tolist(), pa.list_(pa.float32(), 16)),
+        }
+    )
+    ds = rd.from_arrow(tbl).materialize()
+    q = pts[3]  # a member of cluster 0
+    brute = set(ann.cosine_topk(ds, q, k=10)["vec_id"])
+    indexed, cents = ann.ivf_index(ds, 16, n_centroids=10)
+    approx = set(ann.ivf_search(indexed, q, cents, k=10, nprobe=2)["vec_id"])
+    recall = len(brute & approx) / 10
+    assert recall >= 0.9, recall
 
 
 # ------------------------------------------------------------------ text

@@ -209,3 +209,99 @@ def test_user_registered_function():
         assert r.b[0]
     finally:
         E.FUNCTIONS.pop("startswith", None)
+
+
+def test_validate_engine_bucketed_probe(tmp_path, monkeypatch):
+    """Engine-scale validation: ParquetSource store + bucketed checkpoint
+    probe — must find MissingTriple violations WITHOUT ever collecting the
+    store's hash set to the driver (dataset_hash_set is poisoned)."""
+    import ray.data as rd
+
+    from raydf import rules as R
+    from raydf import validate as V
+    from raydf.deduce import FixpointEngine
+    from raydf.fixtures import triples_from_terms
+
+    def _iri(s):
+        return R.iri(f"https://example.org/{s}")
+
+    C, CH = _iri("contains"), _iri("childOf")
+    rows = [(_iri("a"), C, _iri("b")), (_iri("b"), CH, _iri("a"))]
+    # store 1: only the contains fact → childOf conclusion is missing
+    t_bad, _ = triples_from_terms(rows[:1])
+    # store 2: both facts → validates Ok
+    t_ok, _ = triples_from_terms(rows)
+
+    sys_ = R.System()
+    sys_.insert(
+        R.rule(
+            2,
+            [R.pat(R.v(0), C, R.v(1))],
+            [R.triple_st(R.v(1), CH, R.v(0))],
+            name="child_of",
+        )
+    )
+
+    monkeypatch.setattr(
+        V, "dataset_hash_set",
+        lambda *_a, **_k: (_ for _ in ()).throw(
+            AssertionError("driver hash collect used in engine path")
+        ),
+    )
+
+    eng_bad = FixpointEngine(R.System(), str(tmp_path / "bad"), buckets=4)
+    eng_bad.load_initial(rd.from_arrow(t_bad))
+    res = V.validate_engine(sys_, eng_bad)
+    assert not res["ok"]
+    reasons = res["violations"]["reason"].to_pylist()
+    assert reasons == ["MissingTriple"]
+
+    eng_ok = FixpointEngine(R.System(), str(tmp_path / "ok"), buckets=4)
+    eng_ok.load_initial(rd.from_arrow(t_ok))
+    res2 = V.validate_engine(sys_, eng_ok)
+    assert res2["ok"]
+
+
+def test_negative_eq_recorded_and_validated(tmp_path):
+    """A rule concluding !Eq (the reference's Ne, src/statement.rs:15-16):
+    its firings must land in the engine's `nes` side output, and
+    validation's NotNe arm must flag bindings where the two resources are
+    in fact identical (src/system/deduction.rs:120-131)."""
+    import ray.data as rd
+
+    from raydf import rules as R
+    from raydf import validate as V
+    from raydf.deduce import FixpointEngine
+    from raydf.fixtures import triples_from_terms
+
+    def _iri(s):
+        return R.iri(f"https://example.org/{s}")
+
+    DIFF = _iri("differentAuthorThan")
+    rows = [(_iri("a"), DIFF, _iri("b")), (_iri("c"), DIFF, _iri("c"))]
+    triples, terms_tbl = triples_from_terms(rows)
+
+    sys_ = R.System()
+    sys_.insert(
+        R.rule(
+            2,
+            [R.pat(R.v(0), DIFF, R.v(1))],
+            [R.eq_st(R.v(0), R.v(1), sign=False)],
+            name="distinct_authors",
+        )
+    )
+
+    # 1. deduction records the !Eq firings in the nes side channel
+    eng = FixpointEngine(sys_, str(tmp_path / "ne"), buckets=4)
+    eng.load_initial(rd.from_arrow(triples))
+    eng.run_round(1)
+    nes = eng.ne_pairs_df()
+    got = {tuple(r) for r in nes.to_numpy()}
+    assert (_iri("a").id, _iri("b").id) in got
+    assert (_iri("c").id, _iri("c").id) in got
+
+    # 2. validation's NotNe arm consumes them: the reflexive (c, c) row
+    # violates distinctness, the (a, b) row does not
+    res = V.validate_system(sys_, rd.from_arrow(triples))
+    assert not res["ok"]
+    assert res["violations"]["reason"].to_pylist() == ["NotNe"]

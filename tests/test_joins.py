@@ -71,3 +71,76 @@ def test_distinct_and_group_map_preserve_full_range_ids():
         ds, ["x"], lambda df: df.drop_duplicates("x"), num_partitions=4
     ).to_pandas()
     assert set(gm["x"]) == {int(ids[0]), int(ids[2])}
+
+
+# ---------------------------------------------------- lazy cascade hash path
+
+
+def _mk_triples(rows):
+    import pyarrow as pa
+    import numpy as np
+
+    from raydf.schema import TRIPLES_SCHEMA
+
+    n = len(rows)
+    return pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.int64()),
+            "pred": pa.array([r[1] for r in rows], pa.int64()),
+            "obj": pa.array([r[2] for r in rows], pa.int64()),
+            "sign": pa.array([True] * n, pa.bool_()),
+            "graph": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "rule_idx": pa.nulls(n, pa.int32()),
+            "round": pa.array([0] * n, pa.int32()),
+            "substitution": pa.nulls(n, pa.large_list(pa.int64())),
+            "content_sha256": pa.nulls(n, pa.string()),
+        },
+        schema=TRIPLES_SCHEMA,
+    )
+
+
+def test_lazy_hash_join_tiny_and_empty_sides(monkeypatch):
+    """Force the LAZY hash-join cascade path (broadcast limit 0) on tiny
+    sides: Ray 2.49's native join crashes when a side contributes zero
+    blocks overall — the cascade must probe and short-circuit instead, and
+    a tiny (2-row) left across many partitions must still join correctly
+    (empty PARTITIONS are fine; empty SIDES are not)."""
+    import ray.data as rd
+
+    from raydf import match as M
+    from raydf import rules as R
+
+    monkeypatch.setattr(M, "BROADCAST_BINDINGS_LIMIT", 0)
+
+    P = 77  # pred id
+    ds = rd.from_arrow(_mk_triples([(1, P, 2), (2, P, 3)])).materialize()
+    src = M.DatasetSource(ds)
+    rule = R.rule(
+        3,
+        [R.pat(R.v(0), IntC(P), R.v(1)), R.pat(R.v(1), IntC(P), R.v(2))],
+        [R.triple_st(R.v(0), IntC(P), R.v(2))],
+    )
+    b = M.rule_bindings(rule, src, num_partitions=8)
+    out = b.to_pandas().sort_values(["v0"]).reset_index(drop=True)
+    assert out[["v0", "v1", "v2"]].values.tolist() == [[1, 2, 3]]
+
+    # a pattern matching ZERO rows (pred 999) must short-circuit to None,
+    # not crash inside the join aggregator
+    rule2 = R.rule(
+        3,
+        [R.pat(R.v(0), IntC(P), R.v(1)), R.pat(R.v(1), IntC(999), R.v(2))],
+        [R.triple_st(R.v(0), IntC(P), R.v(2))],
+    )
+    b2 = M.rule_bindings(rule2, src, num_partitions=8)
+    assert b2 is None or b2.count() == 0
+
+
+def IntC(i: int):
+    from raydf.rules import ConstTerm
+
+    class _IntConst(ConstTerm):
+        @property
+        def id(self) -> int:
+            return int(self.lexical.removeprefix("int:"))
+
+    return _IntConst(kind=0, lexical=f"int:{i}", datatype=None)

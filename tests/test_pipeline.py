@@ -166,3 +166,45 @@ def test_lineage_columns_present(pipeline_run):
     # per-round metrics recorded in the manifest
     man = json.load(open(glob.glob(os.path.join(wd, "gen*", "MANIFEST.json"))[0]))
     assert all("seconds" in r and "new_triples" in r for r in man["rounds"])
+
+
+def test_decode_join_path_matches_broadcast(ray_session):
+    """The 3x hash-join decode (engine-scale dictionaries) must reproduce
+    the broadcast decode exactly."""
+    import ray.data as rd
+
+    from raydf import rules as R
+    from raydf.fixtures import triples_from_terms
+    from raydf.materialize import decode_triples
+
+    def _iri(s):
+        return R.iri(f"https://example.org/{s}")
+
+    rows = [
+        (_iri("a"), _iri("p"), _iri("b")),
+        (_iri("b"), _iri("p"), _iri("c")),
+        (_iri("c"), _iri("q"), _iri("a")),
+    ]
+    triples, terms_tbl = triples_from_terms(rows)
+    tds = rd.from_arrow(triples).materialize()
+    terms_df = terms_tbl.to_pandas()
+
+    via_bcast = (
+        decode_triples(tds, terms_df)
+        .to_pandas()
+        .sort_values(["s_lex", "p_lex", "o_lex"])
+        .reset_index(drop=True)
+    )
+    via_join = (
+        decode_triples(tds, rd.from_arrow(terms_tbl))
+        .to_pandas()
+        .sort_values(["s_lex", "p_lex", "o_lex"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        via_join[["s_lex", "p_lex", "o_lex", "sign"]],
+        via_bcast[["s_lex", "p_lex", "o_lex", "sign"]],
+    )
+    assert len(via_join) == 3
