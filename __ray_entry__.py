@@ -154,13 +154,22 @@ def _q1_pricing_summary(sf_dir: str):
 
 
 def _q_top_orders(sf_dir: str):
+    import pyarrow.compute as pc
+
     from raydf.joins import broadcast_join
 
+    # filter BEFORE collecting the broadcast side: only the matching keys
+    # ever reach the driver (the full customer table never does)
     cust = (
         _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+                ["c_custkey"]
+            ),
+            batch_format="pyarrow",
+        )
         .to_pandas()
     )
-    cust = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     ).map_batches(
@@ -238,6 +247,74 @@ def _q_window_tumbling(sf_dir: str):
     return ds.groupby(["user_id", "window"]).aggregate(
         Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value_cents")
     )
+
+
+def _q_window_sliding(sf_dir: str):
+    """Sliding window (length 2 h, step 1 h): each event lands in two
+    windows — a flat-map duplicating rows per window id, then the
+    partial+final groupby aggregate. The window fan-out happens inside
+    map_batches (vectorized concat), never on the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        epoch_s = df["ts"].astype("int64") // 10**6
+        h = (epoch_s // 3600).astype(np.int64)
+        vc = np.rint(df["value"] * 100).astype(np.int64)
+        base = pd.DataFrame({"user_id": df["user_id"], "window": h, "value_c": vc})
+        prev = base.assign(window=base["window"] - 1)
+        return pa.Table.from_pandas(
+            pd.concat([base, prev], ignore_index=True), preserve_index=False
+        )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"]).map_batches(
+        fan_out, batch_format="pyarrow"
+    )
+    return ds.groupby(["user_id", "window"]).aggregate(
+        Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value_cents")
+    )
+
+
+def _q_session_windows(sf_dir: str):
+    """Gap-based session windows (30-min inactivity gap) — the custom
+    stateful-window operator Ray Data lacks, built as a composition:
+    hash-partition by user (partitioned_group_map co-locates every event
+    of a user — the documented partitioning assumption), then a fully
+    vectorized per-partition sort + lag + cumulative break-count. Session
+    ids and counts are deterministic: events with equal timestamps cannot
+    open a gap regardless of tie order."""
+    from raydf.joins import partitioned_group_map
+
+    def prep(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64), pa.int64()),
+                "t": pa.array(
+                    (df["ts"].astype("int64") // 10**6).to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    GAP = 1800
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "t"], kind="mergesort").reset_index(drop=True)
+        prev = df.groupby("user_id")["t"].shift()
+        brk = ((df["t"] - prev > GAP) | prev.isna()).astype(np.int64)
+        sess = brk.groupby(df["user_id"]).cumsum()
+        out = (
+            df.assign(session=sess)
+            .groupby(["user_id", "session"], as_index=False)
+            .agg(n_events=("t", "size"))
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return partitioned_group_map(ds, ["user_id"], sessions, num_partitions=16)
 
 
 def _q_orders_priority(sf_dir: str):
@@ -727,6 +804,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_segments": _q_distinct_segments,
         "q_filter_events": _q_filter_events,
         "q_window_tumbling": _q_window_tumbling,
+        "q_window_sliding": _q_window_sliding,
+        "q_session_windows": _q_session_windows,
         "q_orders_priority": _q_orders_priority,
         # KG operator families
         "kg_extract_structural": _kg_extract_structural,
@@ -788,6 +867,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events
             GROUP BY user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600
+        """,
+        "q_window_sliding": """
+            WITH ev AS (
+                SELECT user_id,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS h,
+                       CAST(ROUND(value*100) AS BIGINT) AS vc
+                FROM events
+            ), x AS (
+                SELECT user_id, h AS "window", vc FROM ev
+                UNION ALL
+                SELECT user_id, h - 1 AS "window", vc FROM ev
+            )
+            SELECT user_id, "window", COUNT(*) AS n_events,
+                   CAST(SUM(vc) AS BIGINT) AS sum_value_cents
+            FROM x GROUP BY user_id, "window"
+        """,
+        "q_session_windows": """
+            WITH e AS (
+                SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events
+            ), s AS (
+                SELECT user_id, t,
+                       CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                                 IS NULL
+                              OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                                 > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM e
+            ), x AS (
+                SELECT user_id, t,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING) AS session
+                FROM s
+            )
+            SELECT user_id, CAST(session AS BIGINT) AS session,
+                   COUNT(*) AS n_events
+            FROM x GROUP BY user_id, session
         """,
         "q_orders_priority": """
             SELECT o_orderpriority, COUNT(*) AS n FROM orders

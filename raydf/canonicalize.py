@@ -54,10 +54,31 @@ class UnionFind:
 
 
 def canonical_mapping_driver(pairs: pd.DataFrame) -> pd.DataFrame:
-    uf = UnionFind()
-    for a, b in zip(pairs["a"].to_numpy(), pairs["b"].to_numpy()):
-        uf.union(int(a), int(b))
-    return uf.mapping()
+    """Driver connected components, vectorized: min-label propagation with
+    pointer jumping over numpy index arrays — O((V+E) log D) numpy ops
+    instead of a Python-dict union-find loop (the loop was ~20-30 s of
+    SERIAL driver time at 4M pairs — paid identically at every CPU count,
+    i.e. pure Amdahl fixed cost). Node ids are sorted by np.unique, so the
+    min label index IS the min term id — same deterministic representative
+    as the UnionFind."""
+    a = pairs["a"].to_numpy(np.int64)
+    b = pairs["b"].to_numpy(np.int64)
+    if len(a) == 0:
+        return pd.DataFrame({"node": [], "canon": []}).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        nxt = label.copy()
+        np.minimum.at(nxt, ai, label[bi])
+        np.minimum.at(nxt, bi, label[ai])
+        nxt = nxt[nxt]  # pointer jumping halves chain lengths
+        if np.array_equal(nxt, label):
+            break
+        label = nxt
+    canon = nodes[label]
+    mask = canon != nodes
+    return pd.DataFrame({"node": nodes[mask], "canon": canon[mask]})
 
 
 def canonical_mapping_distributed(
@@ -239,6 +260,121 @@ def make_remapper(mapping: pd.DataFrame, cols=("subj", "pred", "obj"),
         return batch
 
     return _remap
+
+
+def _pack_list_i64(col: "pa.ChunkedArray") -> "pa.Array":
+    """large_list<int64> → large_binary, zero-copy-shaped: byte offsets are
+    the list offsets ×8 over the same values buffer. Acero hash joins
+    reject list non-key columns but accept large_binary, so lineage rides
+    through the join cascade packed (no per-row Python)."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    # normalize slice windows: offsets may not start at 0
+    vals = vals[offs[0] : offs[-1]]
+    offs = offs - offs[0]
+    null_buf = None
+    if arr.null_count:
+        null_buf = pa.array(~arr.is_null().to_numpy(zero_copy_only=False)).buffers()[1]
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(arr),
+        [null_buf, pa.py_buffer((offs * 8).tobytes()), pa.py_buffer(vals.tobytes())],
+        null_count=arr.null_count,
+    )
+
+
+def _unpack_list_i64(col: "pa.ChunkedArray") -> "pa.Array":
+    """Inverse of :func:`_pack_list_i64` (byte offsets ÷8 over the same
+    data buffer reinterpreted as int64)."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return pa.array([], pa.large_list(pa.int64()))
+    bufs = arr.buffers()
+    # account for a possible slice offset on the binary array
+    offs_np = np.frombuffer(bufs[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].copy()
+    base = offs_np[0]
+    vals = np.frombuffer(bufs[2], dtype=np.int64)[base // 8 : offs_np[-1] // 8]
+    null_buf = None
+    if arr.null_count:
+        null_buf = pa.array(~arr.is_null().to_numpy(zero_copy_only=False)).buffers()[1]
+    return pa.LargeListArray.from_buffers(
+        pa.large_list(pa.int64()), len(arr),
+        [null_buf, pa.py_buffer(((offs_np - base) // 8).tobytes())],
+        children=[pa.array(vals, pa.int64())],
+        null_count=arr.null_count,
+    )
+
+
+def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj", "graph"),
+                         num_partitions: int = 16):
+    """Remap id columns via per-column LEFT hash joins — the scale path
+    when the canonical mapping exceeds broadcast limits (unbounded sameAs
+    growth). One join per remapped column; unmatched rows keep their id
+    via ``pc.coalesce`` (pyarrow-native: int64 stays int64 — a pandas
+    round-trip would degrade the nullable join output to float64 and
+    corrupt full-range term ids). List-typed columns (lineage
+    ``substitution``) are packed to large_binary for the ride — acero
+    joins reject list non-key fields."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raydf.match import _join_partitions
+
+    P = _join_partitions(num_partitions)
+    if triples_ds.limit(1).count() == 0 or mapping_ds.limit(1).count() == 0:
+        return triples_ds  # native-join empty-side guard (Ray 2.49 crash)
+
+    schema = triples_ds.schema().base_schema
+    list_cols = [
+        f.name for f in schema
+        if pa.types.is_large_list(f.type) or pa.types.is_list(f.type)
+    ]
+
+    def pack(t: pa.Table) -> pa.Table:
+        for name in list_cols:
+            i = t.schema.get_field_index(name)
+            t = t.set_column(i, pa.field(name, pa.large_binary()),
+                             _pack_list_i64(t[name]))
+        return t
+
+    def unpack(t: pa.Table) -> pa.Table:
+        for name in list_cols:
+            i = t.schema.get_field_index(name)
+            t = t.set_column(i, pa.field(name, pa.large_list(pa.int64())),
+                             _unpack_list_i64(t[name]))
+        return t
+
+    out = triples_ds
+    if list_cols:
+        out = out.map_batches(pack, batch_format="pyarrow")
+    for c in cols:
+        canon_col = f"__canon_{c}"
+
+        def rename(t: pa.Table, _c=c, _cc=canon_col) -> pa.Table:
+            return t.select(["node", "canon"]).rename_columns([_c, _cc])
+
+        rhs = mapping_ds.map_batches(rename, batch_format="pyarrow")
+        out = out.join(rhs, join_type="left_outer", num_partitions=P, on=(c,),
+                       validate_schemas=False)
+
+        def apply(t: pa.Table, _c=c, _cc=canon_col) -> pa.Table:
+            i = t.schema.get_field_index(_c)
+            merged = pc.coalesce(t[_cc], t[_c]).cast(pa.int64())
+            t = t.set_column(i, t.schema.field(i), merged)
+            return t.drop_columns([_cc])
+
+        out = out.map_batches(apply, batch_format="pyarrow")
+    if list_cols:
+        out = out.map_batches(unpack, batch_format="pyarrow")
+    return out
 
 
 def remap_triples(triples_ds, mapping: pd.DataFrame, *, flag_col: str | None = None):

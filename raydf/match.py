@@ -195,9 +195,12 @@ def order_patterns(items: list) -> list:
 
 def _join_partitions(num_partitions: int) -> int:
     """Partition count for the native hash join: capped at 16 (its per-
-    partition fixed cost regresses past that — BASELINE.md A/B) and at the
-    cluster CPU count (aggregator actors reserve 0.125 CPU per partition;
-    over-reserving deadlocks small clusters)."""
+    partition fixed cost regresses past that) and at the cluster CPU count
+    (aggregator actors reserve 0.125 CPU per partition; over-reserving
+    deadlocks small clusters). Re-verified on the round-2 lazy cascade:
+    cap=cpus(32) → 226 s end-to-end at 1M files/32 CPUs vs cap=16 → 130 s
+    — Ray 2.49's hash-join partition overhead dominates regardless of
+    cascade shape, so the hard 16 stays."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8

@@ -113,13 +113,24 @@ def _mark_done(d: str) -> None:
 
 
 def compose_mappings(total: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
+    """total ∘ new — vectorized (sorted-key searchsorted, no Python-level
+    per-row map: this runs on the driver over mappings that reach millions
+    of rows)."""
     if len(total) == 0:
         return new
     if len(new) == 0:
         return total
-    m = dict(zip(new["node"], new["canon"]))
+    import numpy as np
+
+    keys = new["node"].to_numpy(np.int64)
+    vals = new["canon"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    keys, vals = keys[order], vals[order]
+    cur = total["canon"].to_numpy(np.int64)
+    pos = np.clip(np.searchsorted(keys, cur), 0, len(keys) - 1)
+    hit = keys[pos] == cur
     total = total.copy()
-    total["canon"] = total["canon"].map(lambda x: m.get(x, x))
+    total["canon"] = np.where(hit, vals[pos], cur)
     extra = new[~new["node"].isin(total["node"])]
     return pd.concat([total, extra], ignore_index=True)
 

@@ -69,3 +69,51 @@ def test_eq_rule_drives_merge_and_remap(tmp_workdir):
     # (a p c) and (b p c) collapse to one triple after canonical dedup
     spo = remapped[remapped["pred"] == R.iri(P).id][["subj", "obj"]]
     assert len(spo.drop_duplicates()) == 1
+
+
+def test_remap_joined_matches_broadcast(ray_session):
+    """The hash-join remap (scale path for huge mappings) must reproduce
+    the broadcast remap exactly, including untouched rows and int64
+    fidelity on full-range ids."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydf.canonicalize import remap_triples, remap_triples_joined
+    from raydf.schema import TRIPLES_SCHEMA
+
+    big = np.int64(2**62 + 12345)  # > 2^53: float64 degradation would corrupt
+    rows = pa.table(
+        {
+            "subj": pa.array([1, 2, big], pa.int64()),
+            "pred": pa.array([7, 7, 7], pa.int64()),
+            "obj": pa.array([2, big, 1], pa.int64()),
+            "sign": pa.array([True] * 3, pa.bool_()),
+            "graph": pa.array([0, 3, 0], pa.int64()),
+            "rule_idx": pa.nulls(3, pa.int32()),
+            "round": pa.array([0] * 3, pa.int32()),
+            "substitution": pa.nulls(3, pa.large_list(pa.int64())),
+            "content_sha256": pa.nulls(3, pa.string()),
+        },
+        schema=TRIPLES_SCHEMA,
+    )
+    mapping = pd.DataFrame({"node": [2, int(big)], "canon": [1, 1]})
+    tds = rd.from_arrow(rows).materialize()
+    cols = ["subj", "pred", "obj", "sign", "graph"]
+
+    via_bcast = (
+        remap_triples(tds, mapping).to_pandas()[cols]
+        .sort_values(cols).reset_index(drop=True)
+    )
+    mds = rd.from_arrow(
+        pa.table({"node": pa.array(mapping["node"], pa.int64()),
+                  "canon": pa.array(mapping["canon"], pa.int64())})
+    )
+    via_join = (
+        remap_triples_joined(tds, mds).to_pandas()[cols]
+        .sort_values(cols).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(via_join, via_bcast)
+    assert set(via_join["subj"]) == {1}  # 2 and big both remapped to 1
+    assert 3 in set(via_join["graph"])  # non-mapped graph id untouched
