@@ -329,6 +329,109 @@ def _q_orders_priority(sf_dir: str):
     return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
 
 
+def _events_typed(sf_dir: str, kind: str, *cols: str):
+    """events filtered to one type, ts cast to epoch-μs int64 column t."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], kind))
+        out = {c: t[c] for c in cols}
+        out["t"] = pc.cast(t["ts"], pa.int64())
+        return pa.table(out)
+
+    return _read(sf_dir, "events", columns=["event_type", "ts", *cols]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def _q_asof_purchase_click(sf_dir: str):
+    """As-of join (trades/quotes shape): each purchase matched to the most
+    recent click of the same user at or before it; gap in μs, null when
+    the user never clicked earlier."""
+    from raydf.relops import asof_join
+
+    purchases = _events_typed(sf_dir, "purchase", "event_id", "user_id")
+    clicks = _events_typed(sf_dir, "click", "user_id").map_batches(
+        lambda t: t.append_column("click_t", t["t"]), batch_format="pyarrow"
+    )
+    res = asof_join(purchases, clicks, by=["user_id"], on="t")
+    return res.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "user_id": df["user_id"],
+                "gap_us": df["t"] - df["click_t"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_range_views_before_purchase(sf_dir: str):
+    """Range join: per purchase, how many views the same user made in the
+    5 minutes strictly before it."""
+    from raydf.relops import range_join_count
+
+    purchases = _events_typed(sf_dir, "purchase", "event_id", "user_id")
+    views = _events_typed(sf_dir, "view", "user_id")
+    res = range_join_count(
+        purchases, views, by=["user_id"], on="t",
+        lo=-300_000_000, hi=0, alias="n_views_5min",
+    )
+    return res.select_columns(["event_id", "user_id", "n_views_5min"])
+
+
+def _q_topk_orders_per_priority(sf_dir: str):
+    """Top-3 orders by totalprice within each priority (deterministic
+    orderkey tie-break) — partial/final top-k, not a global sort."""
+    from raydf.relops import topk_per_group
+
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+    )
+    return topk_per_group(
+        ds, ["o_orderpriority"], "o_totalprice", 3, tie_cols=["o_orderkey"]
+    )
+
+
+def _q_quantile_prices(sf_dir: str):
+    """Exact p50/p95 of lineitem price cents per returnflag ('lower'
+    interpolation — engine-portable on ints)."""
+    from raydf.relops import quantile_per_group
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"], "v": cents})
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return quantile_per_group(ds, ["l_returnflag"], "v", [0.5, 0.95])
+
+
+def _q_customers_no_orders(sf_dir: str):
+    """Distributed anti join: customers that never placed an URGENT order
+    (no driver-side key collection; the urgency filter keeps the result
+    non-vacuous at test scale — every customer has SOME order)."""
+    import pyarrow.compute as pc
+
+    from raydf.relops import anti_join_keys
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    urgent = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_custkey"]
+        ).rename_columns(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    return anti_join_keys(cust, urgent, ["c_custkey"])
+
+
 # ------------------------------------------------------------ KG queries
 
 
@@ -755,6 +858,20 @@ def _quality_scores(sf_dir: str):
     return docs.map_batches(quality_score, batch_format="pyarrow")
 
 
+def _train_test_split(sf_dir: str):
+    from raydf.datapipe.corpus import split_by_hash
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return split_by_hash(docs, key="doc_id", train_pct=80)
+
+
+def _top_terms(sf_dir: str):
+    from raydf.datapipe.corpus import top_terms
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return top_terms(docs, k=20)
+
+
 def _multimodal_featurize(sf_dir: str):
     import ray.data as rd
 
@@ -807,6 +924,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_window_sliding": _q_window_sliding,
         "q_session_windows": _q_session_windows,
         "q_orders_priority": _q_orders_priority,
+        "q_asof_purchase_click": _q_asof_purchase_click,
+        "q_range_views_before_purchase": _q_range_views_before_purchase,
+        "q_topk_orders_per_priority": _q_topk_orders_per_priority,
+        "q_quantile_prices": _q_quantile_prices,
+        "q_customers_no_orders": _q_customers_no_orders,
         # KG operator families
         "kg_extract_structural": _kg_extract_structural,
         "kg_transitive_contains": _kg_transitive_contains,
@@ -828,6 +950,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _embedding_neardup,
         "lang_id_docs": _lang_id_docs,
         "quality_scores": _quality_scores,
+        "train_test_split": _train_test_split,
+        "top_terms": _top_terms,
         "multimodal_featurize": _multimodal_featurize,
     }
 
@@ -904,6 +1028,68 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM x GROUP BY user_id, session
         """,
+        "q_asof_purchase_click": """
+            WITH p AS (
+                SELECT event_id, user_id, epoch_us(ts) AS t
+                FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, epoch_us(ts) AS t
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT p.event_id, p.user_id, p.t - c.t AS gap_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.t >= c.t
+        """,
+        "q_range_views_before_purchase": """
+            WITH p AS (
+                SELECT event_id, user_id, epoch_us(ts) AS t
+                FROM events WHERE event_type = 'purchase'
+            ), v AS (
+                SELECT user_id, epoch_us(ts) AS t
+                FROM events WHERE event_type = 'view'
+            )
+            SELECT p.event_id, p.user_id, COUNT(v.t) AS n_views_5min
+            FROM p LEFT JOIN v
+              ON v.user_id = p.user_id
+             AND v.t >= p.t - 300000000 AND v.t < p.t
+            GROUP BY p.event_id, p.user_id
+        """,
+        "q_topk_orders_per_priority": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "q_quantile_prices": """
+            WITH t AS (
+                SELECT l_returnflag,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+                FROM lineitem
+            ), r AS (
+                SELECT l_returnflag, v,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l_returnflag ORDER BY v
+                       ) - 1 AS rn,
+                       COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM t
+            )
+            SELECT l_returnflag,
+                   MAX(CASE WHEN rn = CAST(FLOOR(0.50 * (n-1)) AS BIGINT)
+                            THEN v END) AS p50,
+                   MAX(CASE WHEN rn = CAST(FLOOR(0.95 * (n-1)) AS BIGINT)
+                            THEN v END) AS p95
+            FROM r GROUP BY l_returnflag
+        """,
+        "q_customers_no_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders
+                   WHERE o_orderpriority = '1-URGENT')
+        """,
         "q_orders_priority": """
             SELECT o_orderpriority, COUNT(*) AS n FROM orders
             WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
@@ -979,7 +1165,98 @@ def oracle_sql() -> dict[str, str]:
             FROM aug x JOIN aug y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.9
         """,
-        # minhash/simhash/lang-id/quality/multimodal/full pipeline are
-        # non-SQL-expressible (stateful sketches, heuristic models,
-        # fixpoint engine) → rows-only checks.
+        "lang_id_docs": r"""
+            WITH t AS (
+              SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad,
+                     length(text) AS n
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                len(regexp_extract_all(pad, ' the | and | of | to | in | is ')) AS en,
+                len(regexp_extract_all(pad, ' der | die | und | das | ist | nicht ')) AS de,
+                len(regexp_extract_all(pad, ' le | la | les | de | et | est ')) AS fr,
+                len(regexp_extract_all(pad, ' el | la | los | de | que | es ')) AS es,
+                CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS DOUBLE)
+                  / GREATEST(n, 1) AS cjk
+              FROM t
+            )
+            SELECT doc_id,
+              CASE WHEN cjk >= 0.05 THEN 'zh'
+                   WHEN GREATEST(en, de, fr, es) = 0 THEN 'unknown'
+                   WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                   WHEN de >= fr AND de >= es THEN 'de'
+                   WHEN fr >= es THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+            FROM c
+        """,
+        "quality_scores": r"""
+            WITH t AS (
+              SELECT doc_id, text, lower(text) AS low,
+                     CAST(GREATEST(length(text), 1) AS DOUBLE) AS n_chars,
+                     CAST(GREATEST(len(regexp_extract_all(text, '\w+')), 1)
+                          AS DOUBLE) AS n_words,
+                     len(regexp_extract_all(text, '\w+')) AS n_words_raw
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                len(regexp_extract_all(low,
+                  '\b(?:a|an|and|are|as|at|be|by|for|in|is|it|of|on|that|the|this|to|was|with)\b'
+                )) / n_words AS stop_ratio,
+                len(regexp_extract_all(text, '[^\w\s]')) / n_chars AS punct_ratio,
+                len(regexp_extract_all(text, '\d')) / n_chars AS digit_ratio,
+                len(regexp_extract_all(text, '[A-Z]')) / n_chars AS upper_ratio,
+                CASE WHEN n_words_raw > 0
+                     THEN len(regexp_extract_all(text, '\w')) / n_words
+                     ELSE 0.0 END AS mean_word_len
+              FROM t
+            )
+            SELECT doc_id, stop_ratio, punct_ratio, digit_ratio, upper_ratio,
+                   mean_word_len,
+              0.4 * LEAST(GREATEST(stop_ratio / 0.4, 0), 1)
+              + 0.2 * (1 - LEAST(GREATEST(punct_ratio / 0.3, 0), 1))
+              + 0.2 * (1 - LEAST(GREATEST(digit_ratio / 0.3, 0), 1))
+              + 0.2 * LEAST(GREATEST((mean_word_len - 2) / 5, 0), 1) AS quality
+            FROM c
+        """,
+        "ngram_jaccard_docs": r"""
+            WITH lim AS (
+              SELECT doc_id, text FROM documents LIMIT 300
+            ), norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM lim
+            ), shing AS (
+              SELECT DISTINCT doc_id, substring(t, i, 5) AS s
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, GREATEST(length(t) - 4, 1))) AS i
+                    FROM norm)
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id
+            ), inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+              FROM shing x JOIN shing y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.a, i.b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+        """,
+        "train_test_split": """
+            SELECT doc_id,
+              CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        ::BIGINT % 100 < 80
+                   THEN 'train' ELSE 'test' END AS split
+            FROM documents
+        """,
+        "top_terms": r"""
+            SELECT token, COUNT(*) AS n FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
+              FROM documents
+            ) GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        # minhash/simhash (sketch-hash-specific), multimodal (stub codecs)
+        # and the full fixpoint pipeline are non-SQL-expressible →
+        # rows-only checks.
     }

@@ -1,0 +1,50 @@
+"""Corpus-level ops: deterministic split assignment and top-k terms."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_split_by_hash_matches_direct_md5(ray_session):
+    from raydf.datapipe.corpus import split_by_hash
+
+    docs = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
+    got = split_by_hash(_ds(docs), train_pct=80).to_pandas()
+    want = docs["doc_id"].astype(str).map(
+        lambda s: "train"
+        if int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 100 < 80
+        else "test"
+    )
+    assert got.sort_values("doc_id")["split"].tolist() == want.tolist()
+    frac = (got["split"] == "train").mean()
+    assert 0.7 < frac < 0.9  # binomial sanity around 0.8
+
+
+def test_top_terms_matches_pandas(ray_session):
+    from raydf.datapipe.corpus import top_terms
+
+    texts = [
+        "the cat sat on the mat",
+        "The DOG! the dog, the dog.",
+        "cat and dog and bird",
+    ]
+    got = top_terms(_ds(pd.DataFrame({"text": texts})), k=4).to_pandas()
+    tok = pd.Series(texts).str.lower().str.findall(r"\w+").explode()
+    counts = tok.value_counts()
+    want = (
+        pd.DataFrame({"token": counts.index, "n": counts.values})
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(4)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.astype({"n": "int64"})
+    )
