@@ -412,6 +412,27 @@ def _q_quantile_prices(sf_dir: str):
     return quantile_per_group(ds, ["l_returnflag"], "v", [0.5, 0.95])
 
 
+def _q_approx_quantile_order_price(sf_dir: str):
+    """Sketch-based group quantiles: per-customer p50/p90 of order price
+    cents via mergeable KLL summaries (shuffle moves sketches, not rows).
+    At sf scale every customer has ≤ ~10 orders ≪ k=256, so the sketch is
+    in its exact regime and the SQL order-statistic oracle must match
+    bit-for-bit; at corpus scale the same operator degrades gracefully to
+    the documented rank-error bound."""
+    from raydf.datapipe.sketch import approx_quantile_per_group
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "v": cents})
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return approx_quantile_per_group(ds, ["o_custkey"], "v", [0.5, 0.9], k=256)
+
+
 def _q_customers_no_orders(sf_dir: str):
     """Distributed anti join: customers that never placed an URGENT order
     (no driver-side key collection; the urgency filter keeps the result
@@ -928,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_views_before_purchase": _q_range_views_before_purchase,
         "q_topk_orders_per_priority": _q_topk_orders_per_priority,
         "q_quantile_prices": _q_quantile_prices,
+        "q_approx_quantile_order_price": _q_approx_quantile_order_price,
         "q_customers_no_orders": _q_customers_no_orders,
         # KG operator families
         "kg_extract_structural": _kg_extract_structural,
@@ -1083,6 +1105,26 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CASE WHEN rn = CAST(FLOOR(0.95 * (n-1)) AS BIGINT)
                             THEN v END) AS p95
             FROM r GROUP BY l_returnflag
+        """,
+        "q_approx_quantile_order_price": """
+            WITH t AS (
+                SELECT o_custkey,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+                FROM orders
+            ), r AS (
+                SELECT o_custkey, v,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey ORDER BY v
+                       ) - 1 AS rn,
+                       COUNT(*) OVER (PARTITION BY o_custkey) AS n
+                FROM t
+            )
+            SELECT o_custkey,
+                   MAX(CASE WHEN rn = CAST(FLOOR(0.50 * (n-1)) AS BIGINT)
+                            THEN v END) AS p50,
+                   MAX(CASE WHEN rn = CAST(FLOOR(0.90 * (n-1)) AS BIGINT)
+                            THEN v END) AS p90
+            FROM r GROUP BY o_custkey
         """,
         "q_customers_no_orders": """
             SELECT c_custkey, c_mktsegment FROM customer

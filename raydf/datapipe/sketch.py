@@ -1,0 +1,191 @@
+"""Mergeable quantile sketch (deterministic KLL-style) and the
+combiner-based approximate group-quantile operator built on it.
+
+:func:`raydf.relops.quantile_per_group` is the exact contract and must
+co-locate every group value (one full-row shuffle). This module is the
+scale path its docstring promises: each input block folds its rows into a
+bounded summary per group (the combiner), the shuffle then moves only
+``groups × O(k log n)`` summary values instead of every row, and a final
+per-group merge answers the quantiles. Error is the classic KLL/MRL bound
+(rank error ∝ n / k up the compaction levels); with no compaction — every
+group ≤ k rows — the sketch IS the sorted data and results are exactly the
+'lower'-interpolation order statistics, which is what the SQL-checked
+driver query exercises.
+
+Determinism: textbook KLL flips a coin per compaction (keep odd or even
+ranks). Here the parity alternates with a per-sketch compaction counter —
+fully deterministic and engine-reproducible, at the cost of the slightly
+weaker (but still unbiased-in-expectation-over-levels) classic
+Munro-Paterson behavior. Merges concatenate level-wise then re-compact,
+so the fold is associative up to the documented rank error regardless of
+block order.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+# serialized sketch row layout: int64 list = [k, n_levels, len_0, .., len_m,
+# compactions, values...] — flat int64 so it rides an Arrow large_list
+# column through any shuffle without Python objects.
+
+
+class KLL:
+    """Deterministic KLL-style quantile summary over int64 values.
+
+    Level i holds a sorted int64 array whose items each represent 2**i
+    original rows. ``capacity`` bounds the total retained items; a level
+    longer than ``capacity // (n_levels)`` is compacted: keep alternating
+    ranks (parity from a running counter), promote survivors up a level.
+    """
+
+    __slots__ = ("k", "levels", "compactions", "n")
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.int64)]
+        self.compactions = 0
+        self.n = 0
+
+    # -- building ----------------------------------------------------
+    def add(self, values: np.ndarray) -> "KLL":
+        v = np.asarray(values, np.int64)
+        self.n += len(v)
+        self.levels[0] = np.sort(np.concatenate([self.levels[0], v]))
+        self._shrink()
+        return self
+
+    def merge(self, other: "KLL") -> "KLL":
+        assert self.k == other.k
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.int64))
+        for i, lv in enumerate(other.levels):
+            if len(lv):
+                self.levels[i] = np.sort(np.concatenate([self.levels[i], lv]))
+        self.n += other.n
+        self.compactions += other.compactions
+        self._shrink()
+        return self
+
+    def _shrink(self):
+        while sum(len(lv) for lv in self.levels) > self.k:
+            # compact the lowest level that holds more than its share
+            cap = max(2, self.k // (2 * len(self.levels)))
+            i = next(
+                (j for j, lv in enumerate(self.levels) if len(lv) > cap),
+                None,
+            )
+            if i is None:
+                break
+            lv = self.levels[i]
+            off = self.compactions & 1
+            self.compactions += 1
+            survivors = lv[off::2]
+            self.levels[i] = np.empty(0, np.int64)
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.int64))
+            self.levels[i + 1] = np.sort(
+                np.concatenate([self.levels[i + 1], survivors])
+            )
+
+    # -- querying ----------------------------------------------------
+    def quantile(self, q: float) -> int:
+        """Weighted 'lower' order statistic: the retained value whose
+        cumulative weight first exceeds ``floor(q * (n - 1))``."""
+        vals = np.concatenate([lv for lv in self.levels if len(lv)])
+        wts = np.concatenate(
+            [
+                np.full(len(lv), 1 << i, np.int64)
+                for i, lv in enumerate(self.levels)
+                if len(lv)
+            ]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        target = int(np.floor(q * (self.n - 1))) if self.n > 1 else 0
+        idx = int(np.searchsorted(np.cumsum(wts), target + 1, side="left"))
+        return int(vals[min(idx, len(vals) - 1)])
+
+    # -- flat int64 (de)serialization --------------------------------
+    def to_flat(self) -> np.ndarray:
+        lens = [len(lv) for lv in self.levels]
+        head = np.array(
+            [self.k, self.n, self.compactions, len(lens), *lens], np.int64
+        )
+        return np.concatenate([head] + [lv for lv in self.levels])
+
+    @classmethod
+    def from_flat(cls, flat: np.ndarray) -> "KLL":
+        flat = np.asarray(flat, np.int64)
+        s = cls(int(flat[0]))
+        s.n = int(flat[1])
+        s.compactions = int(flat[2])
+        m = int(flat[3])
+        lens = flat[4 : 4 + m].astype(np.int64)
+        s.levels = []
+        off = 4 + m
+        for ln in lens:
+            s.levels.append(flat[off : off + ln])
+            off += ln
+        if not s.levels:
+            s.levels = [np.empty(0, np.int64)]
+        return s
+
+
+def approx_quantile_per_group(
+    ds,
+    keys: Sequence[str],
+    col: str,
+    qs: Sequence[float],
+    *,
+    k: int = 256,
+    num_partitions: int | None = None,
+):
+    """Approximate per-group quantiles via mergeable KLL summaries.
+
+    Stage 1 (combiner, ``map_batches``): each block groups its OWN rows and
+    emits one flat-serialized sketch per (block, group) — the shuffle never
+    sees raw rows. Stage 2 (one coarse hash shuffle on ``keys``): merge a
+    group's sketches, answer every ``q``. Output columns match
+    :func:`raydf.relops.quantile_per_group` (``p50``-style names), and for
+    groups with ≤ ``k`` rows per the whole input the values are exactly the
+    'lower' order statistics."""
+    import pyarrow as pa
+
+    from raydf.joins import partitioned_group_map
+
+    keys = list(keys)
+    qs = list(qs)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, grp in df.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            sk = KLL(k).add(grp[col].to_numpy(np.int64))
+            # plain list → pyarrow infers list<int64>, keeping the shuffle
+            # free of pickled Python objects
+            rows.append((*kv, sk.to_flat().tolist()))
+        out = pd.DataFrame(rows, columns=keys + ["__sketch"])
+        return out
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, grp in df.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            it = iter(grp["__sketch"])
+            sk = KLL.from_flat(next(it))
+            for flat in it:
+                sk.merge(KLL.from_flat(flat))
+            rows.append((*kv, *(sk.quantile(q) for q in qs)))
+        cols = keys + [f"p{int(round(q * 100))}" for q in qs]
+        return pd.DataFrame(rows, columns=cols)
+
+    pre = ds.map_batches(
+        local,
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    return partitioned_group_map(pre, keys, finalize, num_partitions=num_partitions)
