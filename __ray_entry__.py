@@ -893,6 +893,20 @@ def _top_terms(sf_dir: str):
     return top_terms(docs, k=20)
 
 
+def _pack_chunks(sf_dir: str):
+    """Sequence packing: token-count docs, then assign each to a
+    fixed-512-token training chunk (shard-local contiguous packing —
+    engine-portable, reproduced exactly by the SQL window oracle)."""
+    from raydf.datapipe.corpus import pack_chunks
+    from raydf.datapipe.text import token_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.map_batches(token_stats, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+    return pack_chunks(toks, token_col="n_tokens", budget=512, num_shards=8)
+
+
 def _multimodal_featurize(sf_dir: str):
     import ray.data as rd
 
@@ -974,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _quality_scores,
         "train_test_split": _train_test_split,
         "top_terms": _top_terms,
+        "pack_chunks": _pack_chunks,
         "multimodal_featurize": _multimodal_featurize,
     }
 
@@ -1297,6 +1312,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
               FROM documents
             ) GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "pack_chunks": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\w+')) AS n_tokens,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         ::BIGINT % 8 AS shard
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   shard * 4294967296 +
+                   (SUM(n_tokens) OVER (
+                        PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING
+                    ) - n_tokens) // 512 AS chunk_id
+            FROM t
         """,
         # minhash/simhash (sketch-hash-specific), multimodal (stub codecs)
         # and the full fixpoint pipeline are non-SQL-expressible →

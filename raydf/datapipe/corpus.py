@@ -46,6 +46,64 @@ def split_by_hash(ds, key: str = "doc_id", train_pct: int = 80,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def pack_chunks(
+    ds,
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    key: str = "doc_id",
+    num_shards: int = 32,
+    alias: str = "chunk_id",
+):
+    """Assign documents to fixed-token-budget training chunks,
+    deterministically and shuffle-free.
+
+    The industry-standard sequence-packing step, in its contiguous
+    ("next-fit by cumulative budget") form: documents are sharded by the
+    same engine-portable md5 hash as :func:`split_by_hash`, ordered by
+    ``key`` within a shard, and chunk ``floor(cumsum_before / budget)``
+    — so a chunk is a contiguous run of docs whose preceding token mass
+    fills whole budgets. Chunks are shard-local (``chunk_id`` =
+    ``shard * 2**32 + local chunk``): packing never needs a global
+    order, matching how real pipelines pack per output shard.
+
+    Contiguous packing wastes at most one doc's tokens per boundary vs
+    bin-packing heuristics, but is stateless, reproducible from ANY
+    engine (it is plain SQL window arithmetic — see the driver oracle),
+    and preserves shard locality for resumable writes. Rows stay where
+    they are: the assignment is a per-shard sort of (key, n_tokens)
+    pairs only, done inside one coarse partition map."""
+    from raydf.joins import partitioned_group_map
+
+    def shard_of(ids: pd.Series) -> np.ndarray:
+        return np.fromiter(
+            (
+                int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % num_shards
+                for s in ids.astype(str)
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__shard"] = shard_of(df[key])
+        return df
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__shard", key], kind="mergesort").reset_index(drop=True)
+        tok = df[token_col].to_numpy(np.int64)
+        # tokens BEFORE each doc within its shard
+        before = (
+            df.groupby("__shard", sort=False)[token_col].cumsum().to_numpy(np.int64)
+            - tok
+        )
+        df[alias] = df["__shard"].to_numpy(np.int64) * (1 << 32) + before // budget
+        return df.drop(columns="__shard")
+
+    with_shard = ds.map_batches(add_shard, batch_format="pandas")
+    return partitioned_group_map(with_shard, ["__shard"], pack)
+
+
 def top_terms(docs_ds, k: int = 20, text_col: str = "text"):
     """Global top-k most frequent word tokens (lowercased ``\\w+``),
     deterministic tie-break by token.

@@ -48,3 +48,40 @@ def test_top_terms_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.astype({"n": "int64"})
     )
+
+
+def test_pack_chunks_budget_and_determinism(ray_session):
+    from raydf.datapipe.corpus import pack_chunks
+
+    rng = np.random.RandomState(11)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype=np.int64),
+            "n_tokens": rng.randint(1, 200, 400).astype(np.int64),
+        }
+    )
+    got = pack_chunks(_ds(docs), budget=256, num_shards=4).to_pandas()
+    assert len(got) == 400
+    # within a chunk, the token mass preceding each member stays under one
+    # budget beyond the chunk's base — i.e. chunks are contiguous budget
+    # windows per shard
+    by_chunk = got.groupby("chunk_id")
+    for cid, grp in by_chunk:
+        shard = cid >> 32
+        # all members of a chunk share the shard encoded in the id
+        import hashlib as _h
+
+        shards = grp["doc_id"].astype(str).map(
+            lambda s: int(_h.md5(s.encode()).hexdigest()[:8], 16) % 4
+        )
+        assert (shards == shard).all()
+    # deterministic: a second run gives the identical assignment
+    again = pack_chunks(_ds(docs), budget=256, num_shards=4).to_pandas()
+    merged = got.merge(again, on="doc_id", suffixes=("", "_b"))
+    assert (merged["chunk_id"] == merged["chunk_id_b"]).all()
+    # budget respected in the SQL-reproducible sense: cumsum-before within
+    # (shard, chunk-local index) < budget * (local_chunk + 1)
+    got["shard"] = (got["chunk_id"] >> 32).astype(np.int64)
+    got = got.sort_values(["shard", "doc_id"]).reset_index(drop=True)
+    before = got.groupby("shard")["n_tokens"].cumsum() - got["n_tokens"]
+    assert ((before // 256) == (got["chunk_id"] & 0xFFFFFFFF)).all()
