@@ -95,6 +95,18 @@ def canonical_mapping_distributed(
     """
     from ray.data.aggregate import Min
 
+    from raydf.joins import distinct
+
+    # rule firings re-derive the same Eq every round — distinct first so
+    # every propagation round pays for the PAIR SET, not the firing count
+    # (identity pairs are dropped at the source by make_eqs_fn, but guard
+    # here too: self-loops only add volume)
+    edges_ds = distinct(
+        edges_ds.map_batches(
+            lambda df: df[df["a"] != df["b"]], batch_format="pandas"
+        ),
+        ["a", "b"],
+    )
     sym = edges_ds.map_batches(
         lambda df: pd.concat(
             [

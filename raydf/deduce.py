@@ -191,9 +191,23 @@ def make_eqs_fn(rule: Rule, rule_idx: int, round_no: int, sign: bool = True):
         sub_hash = _sub_hash(df, rule)
         parts = []
         for st in stmts:
-            a = _position_ids(st.eq[0], df, rule, rule_idx, sub_hash)
-            b = _position_ids(st.eq[1], df, rule, rule_idx, sub_hash)
-            n = len(df)
+            a = np.asarray(_position_ids(st.eq[0], df, rule, rule_idx, sub_hash), np.int64)
+            b = np.asarray(_position_ids(st.eq[1], df, rule, rule_idx, sub_hash), np.int64)
+            if sign:
+                # Eq(x, x) is a tautology: it merges nothing, but once the
+                # pre-merge pass has canonicalized the store, sameAs-style
+                # rules re-derive one per link — at 10M files that was 8M
+                # identity rows, pushing the raw eq count past
+                # DRIVER_PAIR_LIMIT and sending an empty-merge workload
+                # down the distributed label-prop path for hours. Drop at
+                # the source. (!Eq(x, x) — sign=False — is a genuine
+                # contradiction signal and is kept.)
+                keep = a != b
+                if not keep.all():
+                    a, b = a[keep], b[keep]
+            n = len(a)
+            if n == 0:
+                continue
             parts.append(
                 pa.table(
                     {
@@ -205,6 +219,8 @@ def make_eqs_fn(rule: Rule, rule_idx: int, round_no: int, sign: bool = True):
                     schema=EQS_SCHEMA,
                 )
             )
+        if not parts:
+            return EQS_SCHEMA.empty_table()
         return pa.concat_tables(parts)
 
     return fn
@@ -727,9 +743,17 @@ class FixpointEngine:
         if not files:
             return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
         rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        if rows > DRIVER_PAIR_LIMIT:
+        # rules re-derive the same Eq across rounds, so the RAW row count
+        # overstates the pair set; read a generous multiple of the limit
+        # and decide on the DISTINCT count (2×int64 ≈ 16 B/row → the 8×
+        # cap reads ≤ ~640 MB, a driver-safe bound)
+        if rows > 8 * DRIVER_PAIR_LIMIT:
             return None
-        return pq.read_table(files, columns=["a", "b"]).to_pandas()
+        df = pq.read_table(files, columns=["a", "b"]).to_pandas()
+        df = df[df["a"] != df["b"]].drop_duplicates(ignore_index=True)
+        if len(df) > DRIVER_PAIR_LIMIT:
+            return None
+        return df
 
     def ne_pairs_df(self) -> "pd.DataFrame":
         """Driver-resident (a, b) !Eq (Ne) assertions — distinctness

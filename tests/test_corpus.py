@@ -81,7 +81,9 @@ def test_pack_chunks_budget_and_determinism(ray_session):
     assert (merged["chunk_id"] == merged["chunk_id_b"]).all()
     # budget respected in the SQL-reproducible sense: cumsum-before within
     # (shard, chunk-local index) < budget * (local_chunk + 1)
-    got["shard"] = (got["chunk_id"] >> 32).astype(np.int64)
+    cid = got["chunk_id"].to_numpy(np.int64)
+    got["shard"] = cid >> 32
     got = got.sort_values(["shard", "doc_id"]).reset_index(drop=True)
     before = got.groupby("shard")["n_tokens"].cumsum() - got["n_tokens"]
-    assert ((before // 256) == (got["chunk_id"] & 0xFFFFFFFF)).all()
+    local = got["chunk_id"].to_numpy(np.int64) & 0xFFFFFFFF
+    assert ((before.to_numpy(np.int64) // 256) == local).all()
