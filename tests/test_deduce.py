@@ -215,3 +215,39 @@ def test_resume_from_manifest(tmp_workdir):
     eng2 = FixpointEngine(system, tmp_workdir, buckets=4, num_partitions=4)
     eng2.run(max_rounds=10)
     assert eng2.count() == count_before == 6
+
+
+def test_identity_eq_conclusions_dropped_at_source():
+    """Eq(x, x) firings (tautologies re-derived after a pre-merge) must not
+    reach the eqs side output — at 10M files they once pushed 8M identity
+    rows past DRIVER_PAIR_LIMIT and sent a zero-merge workload into hours
+    of distributed label propagation. Pure-kernel test: make_eqs_fn is a
+    plain pandas→arrow function. Negative !Eq(x, x) rows (contradiction
+    signals for validation) must be KEPT."""
+    import numpy as np
+
+    from raydf.deduce import make_eqs_fn
+
+    r = R.rule(
+        2,
+        [R.pat(R.v(0), R.iri(CITIZEN_OF), R.v(1))],
+        [R.eq_st(R.v(0), R.v(1))],
+        name="same",
+    )
+    df = pd.DataFrame(
+        {
+            "v0": np.array([10, 20, 30], np.int64),
+            "v1": np.array([10, 99, 30], np.int64),  # rows 0 and 2 identity
+        }
+    )
+    out = make_eqs_fn(r, 0, 1)(df).to_pandas()
+    assert out[["a", "b"]].values.tolist() == [[20, 99]]
+
+    rn = R.rule(
+        2,
+        [R.pat(R.v(0), R.iri(CITIZEN_OF), R.v(1))],
+        [R.eq_st(R.v(0), R.v(1), sign=False)],
+        name="distinct",
+    )
+    out_ne = make_eqs_fn(rn, 0, 1, sign=False)(df).to_pandas()
+    assert len(out_ne) == 3  # !Eq(x,x) contradictions preserved
