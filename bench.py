@@ -98,6 +98,12 @@ _BENCH_QUERIES = [
     "ann_topk",
     "lang_id_docs",
     "text_token_count",
+    # round-2 operator families
+    "q_asof_purchase_click",
+    "q_topk_orders_per_priority",
+    "q_approx_quantile_order_price",
+    "pack_chunks",
+    "top_terms",
 ]
 
 
