@@ -879,6 +879,59 @@ def _quality_scores(sf_dir: str):
     return docs.map_batches(quality_score, batch_format="pyarrow")
 
 
+def _decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: documents with doc_id % 97 == 0 stand in
+    for the eval/benchmark set; every other document is scored by how many
+    distinct word 3-grams it shares with that set. Exact (string-keyed)
+    and fully distributed — one tagged-union shuffle on the gram."""
+    from raydf.datapipe.decontam import decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 97 == 0) if bench else (ids % 97 != 0)
+            return t.filter(pa.array(mask))
+
+        return f
+
+    train = docs.map_batches(side(False), batch_format="pyarrow")
+    bench = docs.map_batches(side(True), batch_format="pyarrow")
+    return decontaminate(train, bench, n=3)
+
+
+def _pii_redact_docs(sf_dir: str):
+    """PII scrub over documents augmented with deterministic planted PII
+    (the fixture corpus itself contains none — the plant makes the check
+    non-vacuous; the oracle replicates the same augmentation in SQL)."""
+    from raydf.datapipe.text import pii_redact
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = pd.Series(t["text"].to_pylist())
+        email = pd.Series(ids % 7 == 0).map(
+            {True: " contact user", False: ""}
+        ) + pd.Series(np.where(ids % 7 == 0, ids.astype(str), "")) + pd.Series(
+            ids % 7 == 0
+        ).map({True: "@example.com now", False: ""})
+        phone = pd.Series(ids % 11 == 0).map(
+            {True: " call 555-123-4567 ok", False: ""}
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array((texts + email + phone).tolist(), pa.string()),
+            }
+        )
+
+    return docs.map_batches(plant, batch_format="pyarrow").map_batches(
+        pii_redact, batch_format="pyarrow"
+    )
+
+
 def _train_test_split(sf_dir: str):
     from raydf.datapipe.corpus import split_by_hash
 
@@ -986,6 +1039,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _embedding_neardup,
         "lang_id_docs": _lang_id_docs,
         "quality_scores": _quality_scores,
+        "decontaminate_docs": _decontaminate_docs,
+        "pii_redact_docs": _pii_redact_docs,
         "train_test_split": _train_test_split,
         "top_terms": _top_terms,
         "pack_chunks": _pack_chunks,
@@ -1274,6 +1329,42 @@ def oracle_sql() -> dict[str, str]:
               + 0.2 * (1 - LEAST(GREATEST(digit_ratio / 0.3, 0), 1))
               + 0.2 * LEAST(GREATEST((mean_word_len - 2) / 5, 0), 1) AS quality
             FROM c
+        """,
+        "decontaminate_docs": """
+            WITH words AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+              FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ), dg AS (
+              SELECT DISTINCT doc_id, gram FROM grams
+            ), bench AS (
+              SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0
+            )
+            SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+            FROM dg d JOIN bench b USING (gram)
+            WHERE d.doc_id % 97 <> 0
+            GROUP BY d.doc_id
+        """,
+        "pii_redact_docs": r"""
+            WITH aug AS (
+              SELECT doc_id, text
+                || CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                        ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 ok' ELSE '' END
+                AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text, '\b\d\d\d-\d\d\d-\d\d\d\d\b')) AS BIGINT) AS n_phones,
+              md5(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '[EMAIL]', 'g'),
+                '\b\d\d\d-\d\d\d-\d\d\d\d\b', '[PHONE]', 'g')) AS clean_md5
+            FROM aug
         """,
         "ngram_jaccard_docs": r"""
             WITH lim AS (

@@ -126,6 +126,35 @@ def _roll64(data: bytes) -> int:
     return h - 0x8000000000000000
 
 
+# PII patterns kept deliberately inside the RE2 ∩ Python-`re` common
+# subset (no backrefs, no lookaround) so an external SQL engine (DuckDB
+# uses RE2) applies the IDENTICAL semantics — the oracle check depends on
+# it, and at engine scale it means the scrub spec is portable.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE_RE = r"\b\d\d\d-\d\d\d-\d\d\d\d\b"
+
+
+def pii_redact(batch: pa.Table) -> pa.Table:
+    """PII scrub: count + redact email addresses and NNN-NNN-NNNN phone
+    numbers. Emits per-doc counts and the md5 of the redacted text (the
+    checkable witness that the replacement happened byte-for-byte) — a
+    real pipeline would emit the redacted text column itself; md5 keeps
+    the test/oracle output narrow. Vectorized ``str.count``/
+    ``str.replace`` kernels; no per-row scanning loops."""
+    texts = pd.Series(batch["text"].to_pylist())
+    n_emails = texts.str.count(PII_EMAIL_RE).astype(np.int64)
+    n_phones = texts.str.count(PII_PHONE_RE).astype(np.int64)
+    clean = texts.str.replace(PII_EMAIL_RE, "[EMAIL]", regex=True).str.replace(
+        PII_PHONE_RE, "[PHONE]", regex=True
+    )
+    md5s = [hashlib.md5(t.encode()).hexdigest() for t in clean]
+    out = batch.select(["doc_id"])
+    out = out.append_column("n_emails", pa.array(n_emails.to_numpy(), pa.int64()))
+    out = out.append_column("n_phones", pa.array(n_phones.to_numpy(), pa.int64()))
+    out = out.append_column("clean_md5", pa.array(md5s, pa.string()))
+    return out
+
+
 def fingerprint(batch: pa.Table) -> pa.Table:
     """Document fingerprints: md5 of normalized text (stable, SQL-checkable)
     + a 64-bit rolling hash (winnowing-style content id)."""

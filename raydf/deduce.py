@@ -610,7 +610,22 @@ class FixpointEngine:
         # tested against Ray 2.49 local mode).
         cpus = int(ray.cluster_resources().get("CPU", 8))
         override = int(os.environ.get("RAYDF_RULE_THREADS", "0"))
-        n_workers = override or max(1, min(len(self.system.rules), cpus // 8))
+        # Adaptive concurrency: when the Δ is LARGE each rule's binding job
+        # is data-dominated and already saturates the cluster on its own —
+        # stacking them only adds scheduler contention (A/B at 12M files /
+        # 32 CPUs: round 1 [81.6M-row Δ] 143.6 s with 4 threads vs 96.2 s
+        # serial; end-to-end 527.9 s vs 504.4 s). When the Δ is SMALL the
+        # jobs are fixed-cost-dominated and concurrency amortizes the
+        # per-job launch cost (same A/B, round 3 [9.6M-row Δ]: 64.2 s with
+        # threads vs 92.9 s serial; sf0.1 inputs regress badly serial).
+        # Δ size is free Parquet metadata, so the policy costs nothing.
+        serial_delta = int(os.environ.get("RAYDF_SERIAL_DELTA_ROWS", str(20_000_000)))
+        delta_rows = delta.upper_bound() or 0
+        n_workers = override or (
+            1
+            if delta_rows >= serial_delta
+            else max(1, min(len(self.system.rules), cpus // 8))
+        )
         with ThreadPoolExecutor(max_workers=n_workers) as ex:
             rule_results = list(
                 ex.map(_rule_task, list(enumerate(self.system.rules)))
