@@ -99,6 +99,56 @@ def test_pii_redact_counts_and_redacts():
     ]
 
 
+def test_ngram_kernel_property_random_texts():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab1 .!\t\n")), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts)
+    def check(ts):
+        for n in (1, 2, 3):
+            t = pa.table(
+                {
+                    "doc_id": pa.array(range(len(ts)), pa.int64()),
+                    "text": pa.array(ts, pa.string()),
+                }
+            )
+            out = make_ngram_fn(n)(t).to_pandas()
+            got = set(zip(out.doc_id, out.gram))
+            want = {(d, g) for d, x in enumerate(ts) for g in _ref_grams(x, n)}
+            assert got == want
+
+    check()
+
+
+def test_pii_redact_idempotent():
+    # the replacement tokens contain no redactable substrings, so a second
+    # pass is a no-op — the md5 witness survives re-scrubbing
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["x bob@ex.com y 555-123-4567 z"], pa.string()),
+        }
+    )
+    once = pii_redact(t).to_pandas()
+    redacted = "x [EMAIL] y [PHONE] z"
+    assert once.clean_md5[0] == hashlib.md5(redacted.encode()).hexdigest()
+    t2 = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array([redacted], pa.string())}
+    )
+    twice = pii_redact(t2).to_pandas()
+    assert twice.clean_md5[0] == once.clean_md5[0]
+    assert twice.n_emails[0] == 0 and twice.n_phones[0] == 0
+
+
 def test_pii_phone_word_boundaries():
     # digits glued to the pattern must NOT match (\b anchors)
     t = pa.table(
