@@ -325,24 +325,39 @@ def _unpack_list_i64(col: "pa.ChunkedArray") -> "pa.Array":
     )
 
 
+def _mix_mod(arr: "np.ndarray", P: int) -> "np.ndarray":
+    """splitmix64 finalizer mod P — the partition hash both sides of a
+    partitioned lookup must agree on (wraps silently on uint64)."""
+    x = arr.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return (x % np.uint64(P)).astype(np.int64)
+
+
 def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj", "graph"),
-                         num_partitions: int = 16):
-    """Remap id columns via per-column LEFT hash joins — the scale path
-    when the canonical mapping exceeds broadcast limits (unbounded sameAs
-    growth). One join per remapped column; unmatched rows keep their id
-    via ``pc.coalesce`` (pyarrow-native: int64 stays int64 — a pandas
-    round-trip would degrade the nullable join output to float64 and
+                         num_partitions: int | None = None):
+    """Remap id columns via per-column partitioned hash lookups — the scale
+    path when the canonical mapping exceeds broadcast limits (unbounded
+    sameAs growth). One coarse union+groupby shuffle per remapped column;
+    inside each partition the lookup is the same sorted-searchsorted kernel
+    as the broadcast remap, pyarrow-native end to end (int64 stays int64 —
+    a pandas round-trip would degrade null-padded columns to float64 and
     corrupt full-range term ids). List-typed columns (lineage
-    ``substitution``) are packed to large_binary for the ride — acero
-    joins reject list non-key fields."""
+    ``substitution``) are packed to large_binary for the ride.
+
+    Deliberately avoids Ray's native JoinOperator: its empty hash
+    partitions emit schema-less blocks that are forwarded around
+    map_batches UDFs uncalled, and any DOWNSTREAM native join that
+    receives one crashes with "No match … FieldRef" (Ray 2.49) — chained
+    per-column joins are exactly that shape (regression:
+    test_remap_joined_matches_broadcast)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from raydf.match import _join_partitions
+    from raydf.joins import default_partitions
 
-    P = _join_partitions(num_partitions)
-    if triples_ds.limit(1).count() == 0 or mapping_ds.limit(1).count() == 0:
-        return triples_ds  # native-join empty-side guard (Ray 2.49 crash)
+    P = num_partitions if num_partitions is not None else default_partitions()
 
     schema = triples_ds.schema().base_schema
     list_cols = [
@@ -364,26 +379,57 @@ def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj",
                              _unpack_list_i64(t[name]))
         return t
 
+    packed_fields = [
+        pa.field(f.name, pa.large_binary()) if f.name in list_cols else f
+        for f in schema
+    ]
+    tcols = [f.name for f in packed_fields]
+
     out = triples_ds
     if list_cols:
         out = out.map_batches(pack, batch_format="pyarrow")
+
     for c in cols:
-        canon_col = f"__canon_{c}"
 
-        def rename(t: pa.Table, _c=c, _cc=canon_col) -> pa.Table:
-            return t.select(["node", "canon"]).rename_columns([_c, _cc])
+        def tag_left(t: pa.Table, _c=c) -> pa.Table:
+            key = t[_c].to_numpy(zero_copy_only=False)
+            t = t.append_column("__node", pa.nulls(len(t), pa.int64()))
+            t = t.append_column("__canon", pa.nulls(len(t), pa.int64()))
+            t = t.append_column("__side", pa.array(np.zeros(len(t), np.int8)))
+            return t.append_column("__p", pa.array(_mix_mod(key, P), pa.int64()))
 
-        rhs = mapping_ds.map_batches(rename, batch_format="pyarrow")
-        out = out.join(rhs, join_type="left_outer", num_partitions=P, on=(c,),
-                       validate_schemas=False)
+        def tag_right(t: pa.Table) -> pa.Table:
+            node = t["node"].to_numpy(zero_copy_only=False)
+            n = len(t)
+            data = {f.name: pa.nulls(n, f.type) for f in packed_fields}
+            data["__node"] = t["node"].cast(pa.int64())
+            data["__canon"] = t["canon"].cast(pa.int64())
+            data["__side"] = pa.array(np.ones(n, np.int8))
+            data["__p"] = pa.array(_mix_mod(node, P), pa.int64())
+            return pa.table(data)
 
-        def apply(t: pa.Table, _c=c, _cc=canon_col) -> pa.Table:
-            i = t.schema.get_field_index(_c)
-            merged = pc.coalesce(t[_cc], t[_c]).cast(pa.int64())
-            t = t.set_column(i, t.schema.field(i), merged)
-            return t.drop_columns([_cc])
+        u = out.map_batches(tag_left, batch_format="pyarrow").union(
+            mapping_ds.map_batches(tag_right, batch_format="pyarrow")
+        )
 
-        out = out.map_batches(apply, batch_format="pyarrow")
+        def merge(t: pa.Table, _c=c) -> pa.Table:
+            right = pc.equal(t["__side"], 1)
+            l = t.filter(pc.invert(right)).select(tcols)
+            r = t.filter(right)
+            if len(r) and len(l):
+                k = r["__node"].to_numpy(zero_copy_only=False).astype(np.int64)
+                v = r["__canon"].to_numpy(zero_copy_only=False).astype(np.int64)
+                order = np.argsort(k)
+                k, v = k[order], v[order]
+                arr = l[_c].to_numpy(zero_copy_only=False)
+                pos = np.clip(np.searchsorted(k, arr), 0, len(k) - 1)
+                new = np.where(k[pos] == arr, v[pos], arr)
+                i = l.schema.get_field_index(_c)
+                l = l.set_column(i, l.schema.field(i), pa.array(new, pa.int64()))
+            return l
+
+        out = u.groupby("__p").map_groups(merge, batch_format="pyarrow")
+
     if list_cols:
         out = out.map_batches(unpack, batch_format="pyarrow")
     return out
