@@ -970,6 +970,20 @@ def _multimodal_featurize(sf_dir: str):
     return out.select_columns(["media_id", "decoded"])
 
 
+def _multimodal_histogram(sf_dir: str):
+    """SQL-checked decode correctness: integer pixel histograms over the
+    synthetic sha256-derived payloads (the oracle rebuilds every byte from
+    sha256 hex and re-bins it — exact integer arithmetic on both sides)."""
+    import ray.data as rd
+
+    from raydf.datapipe.multimodal import MediaHistogrammer, synthetic_media_table
+
+    media = rd.from_arrow(synthetic_media_table(256))
+    return media.map_batches(
+        MediaHistogrammer, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
 def _kg_full_pipeline(sf_dir: str):
     """Rows-only: full flagship pipeline at the given sf; returns decoded triples."""
     from raydf.materialize import decode_graph
@@ -1045,7 +1059,141 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _top_terms,
         "pack_chunks": _pack_chunks,
         "multimodal_featurize": _multimodal_featurize,
+        "multimodal_histogram": _multimodal_histogram,
     }
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB replica of the FULL minhash near-dedup: md5-derived shingle
+    hashes (md5_number_lower == the kernel's md5_u64), the 31-bit
+    universal-hash family with the kernel's own coefficients embedded as
+    literals, LSH banding by exact signature tuple (the kernel buckets by
+    a 64-bit mix of the same tuple — collision-free in practice), exact
+    shingle-Jaccard verify, connected components via recursive CTE, and
+    min-id survivors. Bit-for-bit identical arithmetic: everything stays
+    below 2^63 (raydf/datapipe/dedup.py minhash_coefficients)."""
+    from raydf.datapipe.dedup import minhash_coefficients
+
+    a, b = minhash_coefficients(64)
+    perm_rows = ",".join(f"({i}, {a[i]}, {b[i]})" for i in range(64))
+    return rf"""
+        WITH RECURSIVE norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents
+        ), shing AS (
+          SELECT DISTINCT doc_id, substring(t, i, 5) AS s
+          FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, GREATEST(length(t) - 4, 1))) AS i
+                FROM norm)
+        ), perms(i, pa, pb) AS (
+          VALUES {perm_rows}
+        ), x AS (
+          SELECT doc_id,
+                 CAST(CAST(md5_number_lower(s) AS HUGEINT) % 2147483647 AS BIGINT) AS x
+          FROM shing
+        ), sig AS (
+          SELECT doc_id, p.i // 4 AS band, p.i,
+                 MIN((p.pa * x.x + p.pb) % 2147483647) AS m
+          FROM x JOIN perms p ON TRUE
+          GROUP BY 1, 2, 3
+        ), bandsig AS (
+          SELECT doc_id, band,
+                 MAX(CASE WHEN i % 4 = 0 THEN m END) AS m0,
+                 MAX(CASE WHEN i % 4 = 1 THEN m END) AS m1,
+                 MAX(CASE WHEN i % 4 = 2 THEN m END) AS m2,
+                 MAX(CASE WHEN i % 4 = 3 THEN m END) AS m3
+          FROM sig GROUP BY 1, 2
+        ), ranked AS (
+          SELECT band, m0, m1, m2, m3, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY band, m0, m1, m2, m3
+                                    ORDER BY doc_id) AS rn
+          FROM bandsig
+        ), cand AS (
+          SELECT DISTINCT r1.doc_id AS a, r2.doc_id AS b
+          FROM ranked r1 JOIN ranked r2
+            ON r1.band = r2.band AND r1.m0 = r2.m0 AND r1.m1 = r2.m1
+           AND r1.m2 = r2.m2 AND r1.m3 = r2.m3
+           AND r1.rn < r2.rn AND r2.rn <= 200
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id
+        ), inter AS (
+          SELECT c.a, c.b, COUNT(*) AS i
+          FROM cand c
+          JOIN shing sa ON sa.doc_id = c.a
+          JOIN shing sb ON sb.doc_id = c.b AND sb.s = sa.s
+          GROUP BY 1, 2
+        ), verified AS (
+          SELECT i.a, i.b FROM inter i
+          JOIN sizes za ON za.doc_id = i.a
+          JOIN sizes zb ON zb.doc_id = i.b
+          WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= 0.8
+        ), edges AS (
+          SELECT a AS src, b AS dst FROM verified
+          UNION SELECT b, a FROM verified
+        ), reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), comp AS (
+          SELECT src AS node, LEAST(src, MIN(dst)) AS canon FROM reach GROUP BY src
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM comp WHERE canon < node)
+        ORDER BY doc_id
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replica of simhash near-dup pairs: md5 token hashes, the
+    64-bit fingerprint rebuilt bit-by-bit from majority votes (no 64-bit
+    shifts: bit j extracted via HUGEINT division by an embedded 2^j
+    table), 4×16-bit pigeonhole bands, Hamming ≤ 3 verified by summing
+    bit disagreements (raydf/datapipe/dedup.py SimHasher)."""
+    pow2 = ",".join(f"({j}, {1 << j})" for j in range(64))
+    pow16 = ",".join(f"({j}, {1 << j})" for j in range(16))
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+          FROM documents
+        ), ntok AS (
+          SELECT d.doc_id, COUNT(t.tok) AS n
+          FROM documents d LEFT JOIN toks t ON t.doc_id = d.doc_id GROUP BY 1
+        ), pow2(j, p) AS (VALUES {pow2}
+        ), pow16(j, p) AS (VALUES {pow16}
+        ), ones AS (
+          SELECT t.doc_id, p.j,
+                 SUM(CASE WHEN (CAST(md5_number_lower(t.tok) AS HUGEINT) // p.p) % 2 = 1
+                     THEN 1 ELSE 0 END) AS o
+          FROM toks t JOIN pow2 p ON TRUE
+          GROUP BY 1, 2
+        ), sbits AS (
+          SELECT n.doc_id, p.j,
+                 CASE WHEN n.n > 0 AND 2 * COALESCE(o.o, 0) >= n.n
+                      THEN 1 ELSE 0 END AS bit
+          FROM ntok n JOIN pow2 p ON TRUE
+          LEFT JOIN ones o ON o.doc_id = n.doc_id AND o.j = p.j
+        ), keys AS (
+          SELECT s.doc_id, s.j // 16 AS band, SUM(s.bit * p2.p) AS key
+          FROM sbits s JOIN pow16 p2 ON p2.j = s.j % 16
+          GROUP BY 1, 2
+        ), ranked AS (
+          SELECT band, key, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+          FROM keys
+        ), cand AS (
+          SELECT DISTINCT r1.doc_id AS a, r2.doc_id AS b
+          FROM ranked r1 JOIN ranked r2
+            ON r1.band = r2.band AND r1.key = r2.key
+           AND r1.rn < r2.rn AND r2.rn <= 200
+        ), ham AS (
+          SELECT c.a, c.b, SUM(CASE WHEN sa.bit <> sb.bit THEN 1 ELSE 0 END) AS h
+          FROM cand c
+          JOIN sbits sa ON sa.doc_id = c.a
+          JOIN sbits sb ON sb.doc_id = c.b AND sb.j = sa.j
+          GROUP BY 1, 2
+        )
+        SELECT a, b FROM ham WHERE h <= 3 ORDER BY a, b
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1420,7 +1568,41 @@ def oracle_sql() -> dict[str, str]:
                     ) - n_tokens) // 512 AS chunk_id
             FROM t
         """,
-        # minhash/simhash (sketch-hash-specific), multimodal (stub codecs)
-        # and the full fixpoint pipeline are non-SQL-expressible →
-        # rows-only checks.
+        "minhash_dedup_docs": _minhash_oracle_sql(),
+        "simhash_pairs_docs": _simhash_oracle_sql(),
+        "multimodal_histogram": """
+            -- rebuild the synthetic payload (sha256('image-'||i) digest
+            -- bytes repeated 32x = 1024 fake pixels) and re-bin it:
+            -- bin = min(floor(v*64/255), 63) == np.histogram(64, (0,255))
+            WITH ids AS (
+              SELECT unnest(generate_series(0, 255)) AS media_id
+            ), hexmap(c, v) AS (
+              VALUES ('0',0),('1',1),('2',2),('3',3),('4',4),('5',5),('6',6),
+                     ('7',7),('8',8),('9',9),('a',10),('b',11),('c',12),
+                     ('d',13),('e',14),('f',15)
+            ), dig AS (
+              SELECT media_id, sha256('image-' || media_id) AS h FROM ids
+            ), bytes AS (
+              SELECT d.media_id, 16 * h1.v + h2.v AS byte
+              FROM dig d
+              CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bi) t
+              JOIN hexmap h1 ON h1.c = substring(d.h, 2 * t.bi + 1, 1)
+              JOIN hexmap h2 ON h2.c = substring(d.h, 2 * t.bi + 2, 1)
+            ), hist AS (
+              SELECT media_id, LEAST((byte * 64) // 255, 63) AS bin,
+                     32 * COUNT(*) AS n
+              FROM bytes GROUP BY 1, 2
+            ), bins AS (
+              SELECT unnest(generate_series(0, 63)) AS bin
+            )
+            SELECT i.media_id, CAST(b.bin AS INT) AS bin,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+            FROM ids i CROSS JOIN bins b
+            LEFT JOIN hist h ON h.media_id = i.media_id AND h.bin = b.bin
+            ORDER BY i.media_id, b.bin
+        """,
+        # multimodal (stub codecs, list<float32> output), ann_ivf (approximate
+        # by design) and the full fixpoint pipeline (recursive deduction +
+        # skolemization; every stage is independently SQL-checked instead)
+        # are non-SQL-expressible → rows-only checks.
     }

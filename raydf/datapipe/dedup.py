@@ -18,8 +18,12 @@ All variants follow the same scale shape:
 * **embedding cosine** — see raydf.datapipe.ann (bucketed by coarse LSH
   sign-bits, verified by exact cosine).
 
-Deterministic throughout: hashing via blake2b-seeded integer mixes, no
-RNG state — a retried task reproduces its output bit-for-bit.
+Deterministic throughout, no RNG state — a retried task reproduces its
+output bit-for-bit. The sketch string hashes (minhash shingles, simhash
+tokens) are md5-derived (:func:`md5_u64`) specifically so a SQL engine
+can recompute the signatures and the driver can hash-check the full
+near-dedup result against a DuckDB oracle; permutation coefficients are
+process constants embedded into the oracle SQL as literals.
 """
 
 from __future__ import annotations
@@ -36,6 +40,28 @@ from raydf.joins import distinct, partitioned_group_map
 
 def _text_hash(texts) -> np.ndarray:
     return terms.hash64_strings(np.asarray(texts, dtype=object), prefix=b"doc\x1f")
+
+
+def md5_u64(values) -> np.ndarray:
+    """uint64 string hash reproducible in ANSI-SQL engines:
+    ``int.from_bytes(md5(s).digest()[8:], 'little')`` equals DuckDB's
+    ``md5_number_lower(s)`` — the sketch kernels (minhash shingles,
+    simhash tokens) use this so their DuckDB oracles can recompute
+    signatures bit-for-bit. Hash uniques, scatter back (same shape as
+    terms.hash64_strings)."""
+    arr = np.asarray(values, dtype=object)
+    if len(arr) == 0:
+        return np.empty(0, np.uint64)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(u).encode()).digest()[8:], "little")
+            for u in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return hs[inv]
 
 
 # ------------------------------------------------------------------ exact
@@ -72,28 +98,37 @@ def _shingles(text: str, k: int) -> set:
     return {t[i : i + k] for i in range(len(t) - k + 1)}
 
 
-_M61 = (1 << 61) - 1
+_M31 = (1 << 31) - 1  # Mersenne prime: a, b, x < 2^31 keeps a*x+b < 2^63,
+# exact in BOTH numpy int64 (no wrap) and plain SQL BIGINT — the oracle
+# recomputes signatures bit-for-bit without 128-bit arithmetic
+
+
+def minhash_coefficients(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic universal-hash coefficients (both < 2^31-1; a is
+    nonzero with overwhelming probability — seeded from |1'd 64-bit
+    hashes), derived from the permutation index — no RNG state, stable
+    across processes, and exported so the DuckDB oracle can embed them
+    as literals."""
+    mask = (1 << 64) - 1
+    a = [((terms._h64(f"mh-a-{i}".encode()) | 1) & mask) % _M31 for i in range(num_hashes)]
+    b = [(terms._h64(f"mh-b-{i}".encode()) & mask) % _M31 for i in range(num_hashes)]
+    return a, b
 
 
 def _minhash_matrix(shingle_hashes: list[np.ndarray], num_hashes: int) -> np.ndarray:
-    """num_docs × num_hashes minhash signatures from per-doc shingle hash arrays.
-
-    Universal-hash family a*x+b mod p with deterministic (a, b) derived from
-    the permutation index — no RNG state, stable across processes."""
-    a = np.array(
-        [terms._h64(f"mh-a-{i}".encode()) | 1 for i in range(num_hashes)], dtype=np.uint64
-    ) % _M61
-    b = np.array(
-        [terms._h64(f"mh-b-{i}".encode()) for i in range(num_hashes)], dtype=np.uint64
-    ) % _M61
-    out = np.empty((len(shingle_hashes), num_hashes), dtype=np.uint64)
+    """num_docs × num_hashes minhash signatures from per-doc shingle hash arrays."""
+    a_l, b_l = minhash_coefficients(num_hashes)
+    a = np.array(a_l, dtype=np.int64)
+    b = np.array(b_l, dtype=np.int64)
+    out = np.empty((len(shingle_hashes), num_hashes), dtype=np.int64)
     for d, sh in enumerate(shingle_hashes):
         if len(sh) == 0:
             out[d, :] = 0
             continue
-        x = sh.astype(np.uint64) % _M61
-        # (num_hashes, n_shingles) via broadcasting, then min over shingles
-        vals = (np.multiply.outer(a, x) + b[:, None]) % _M61
+        x = (sh.astype(np.uint64) % np.uint64(_M31)).astype(np.int64)
+        # (num_hashes, n_shingles) via broadcasting, then min over shingles;
+        # products < 2^62 — exact int64, no modular wrap anywhere
+        vals = (np.multiply.outer(a, x) + b[:, None]) % _M31
         out[d, :] = vals.min(axis=1)
     return out
 
@@ -110,7 +145,7 @@ class MinHasher:
 
     def signatures(self, texts: list[str]) -> np.ndarray:
         sh = [
-            terms.hash64_strings(np.array(sorted(_shingles(t, self.k)), dtype=object))
+            md5_u64(np.array(sorted(_shingles(t, self.k)), dtype=object))
             for t in texts
         ]
         return _minhash_matrix(sh, self.num_hashes)
@@ -282,7 +317,7 @@ class SimHasher:
         toks = self.tok.findall(text.lower())
         if not toks:
             return 0
-        hs = terms.hash64_strings(np.array(toks, dtype=object)).astype(np.uint64)
+        hs = md5_u64(np.array(toks, dtype=object))
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
         v = np.where(bits.sum(axis=0) * 2 >= len(hs), 1, 0).astype(np.uint64)
         return int((v << np.arange(64, dtype=np.uint64)).sum())

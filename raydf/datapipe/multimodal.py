@@ -97,6 +97,40 @@ class MediaFeaturizer:
         return out
 
 
+class MediaHistogrammer:
+    """Actor-pool stage: decode → integer per-bin pixel histogram rows.
+
+    The SQL-checkable decode-correctness contract: MediaFeaturizer's float
+    features stand in for a model, but these integer counts a SQL engine
+    can recompute exactly from the synthetic sha256-derived payloads
+    (np.histogram bin edges i*255/bins are exact doubles, so
+    bin = min(floor(v*bins/255), bins-1) on both sides)."""
+
+    def __init__(self, *, bins: int = 64):
+        self.bins = bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, bin_idx, counts = [], [], []
+        all_bins = np.arange(self.bins, dtype=np.int32)
+        for mid, payload, mime in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["mime"].to_pylist(),
+        ):
+            px = _decode_stub(payload, mime)
+            hist, _ = np.histogram(px, bins=self.bins, range=(0, 255))
+            mids.append(np.full(self.bins, mid, np.int64))
+            bin_idx.append(all_bins)
+            counts.append(hist.astype(np.int64))
+        return pa.table(
+            {
+                "media_id": pa.array(np.concatenate(mids), pa.int64()),
+                "bin": pa.array(np.concatenate(bin_idx), pa.int32()),
+                "n": pa.array(np.concatenate(counts), pa.int64()),
+            }
+        )
+
+
 class ImageResizer:
     """Actor-pool stage: resize stub (nearest-neighbor on fake pixels)."""
 

@@ -80,3 +80,55 @@ def test_pack_unpack_list_roundtrip():
     # all-null column (the common stated-triples case)
     nulls = _pack_list_i64(pa.chunked_array([pa.nulls(4, pa.large_list(pa.int64()))]))
     assert _unpack_list_i64(nulls).to_pylist() == [None] * 4
+
+
+def test_md5_u64_matches_duckdb_md5_number_lower():
+    """The sketch hash contract: md5_u64 must equal DuckDB's
+    md5_number_lower for any string — the whole minhash/simhash oracle
+    rests on this equality."""
+    import duckdb
+
+    from raydf.datapipe.dedup import md5_u64
+
+    samples = ["", "hello", "a b  c", "Ünïcode", "x" * 500, "7\x1fq"]
+    got = md5_u64(np.array(samples, dtype=object))
+    con = duckdb.connect()
+    for s, g in zip(samples, got):
+        (want,) = con.execute("SELECT md5_number_lower(?)", [s]).fetchone()
+        assert int(g) == int(want), s
+
+
+def test_minhash_coefficients_31bit_exact():
+    """Coefficients and shingle hashes stay below 2^31 so a*x+b < 2^63:
+    exact in int64 numpy AND plain SQL BIGINT (no modular wrap)."""
+    from raydf.datapipe.dedup import _M31, md5_u64, minhash_coefficients
+
+    a, b = minhash_coefficients(64)
+    assert all(0 < v < _M31 for v in a)
+    assert all(0 <= v < _M31 for v in b)
+    x = md5_u64(np.array(["shingle"], dtype=object)).astype(np.uint64) % np.uint64(_M31)
+    assert max(a) * int(x[0]) + max(b) < 2**63
+
+
+def test_media_histogram_matches_numpy():
+    from raydf.datapipe.multimodal import MediaHistogrammer, synthetic_media_table
+
+    tbl = synthetic_media_table(8)
+    out = MediaHistogrammer(bins=64)(tbl).to_pandas()
+    assert len(out) == 8 * 64
+    # every payload is 1024 fake pixels
+    assert (out.groupby("media_id")["n"].sum() == 1024).all()
+    # spot-check one media against a direct numpy histogram
+    import hashlib
+
+    raw = np.frombuffer(
+        hashlib.sha256(b"image-3").digest() * 32, dtype=np.uint8
+    )
+    want, _ = np.histogram(raw, bins=64, range=(0, 255))
+    got = out[out["media_id"] == 3].sort_values("bin")["n"].to_numpy()
+    assert (got == want).all()
+    # SQL-side binning rule is identical: min(floor(v*64/255), 63)
+    v = np.arange(256)
+    np_bins = np.clip(np.searchsorted(np.linspace(0, 255, 65), v, side="right") - 1, 0, 63)
+    sql_bins = np.minimum(v * 64 // 255, 63)
+    assert (np_bins == sql_bins).all()
