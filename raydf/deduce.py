@@ -43,7 +43,7 @@ import ray.data as rd
 from raydf import expr as expr_mod
 from raydf import joins
 from raydf import terms
-from raydf.match import EmptySource, ParquetSource, rule_bindings
+from raydf.match import DatasetSource, EmptySource, ParquetSource, rule_bindings
 from raydf.rules import Call, ConstTerm, Rule, System, Var
 from raydf.schema import TRIPLES_SCHEMA
 
@@ -555,16 +555,79 @@ class FixpointEngine:
             return len(rule.hypothesis) > 1
         return False
 
+    # Store slices at or below this many rows are pulled into the object
+    # store ONCE per round and scanned in memory. Every pattern scan of a
+    # ParquetSource re-reads the checkpoint files, and rounds accumulate
+    # `buckets` new files each — measured at sf0.01 the LAST (empty-Δ)
+    # round cost 22.5 s, ~all of it re-scanning a 4k-row store dozens of
+    # times (patterns × decompositions × rules). Above the limit the
+    # file-backed path with row-group pushdown is the right scale
+    # behavior, so large runs (e.g. the 122M-row 12M-file store) are
+    # untouched.
+    RESIDENT_STORE_ROWS = 2_000_000
+
+    def _round_source(self, lo=None, hi=None):
+        """File-backed source for a round slice, or a memory-resident one
+        when the slice is small (one read job per round, not one per
+        pattern scan)."""
+        files = self.triple_files(lo=lo, hi=hi)
+        if not files:
+            return EmptySource()
+        ps = ParquetSource(files)
+        ub = ps.upper_bound() or 0
+        if ub <= self.RESIDENT_STORE_ROWS:
+            ds = rd.read_parquet(
+                files, columns=["subj", "pred", "obj", "sign", "graph"]
+            ).materialize()
+            return DatasetSource(ds)
+        return ps
+
+    def _driver_frames(self, full, delta, old):
+        """(full_df, delta_df, old_df) for the in-process cascade, or None
+        when any source is unbounded / the total exceeds the driver
+        budget. Only memory-resident sources qualify, so to_pandas is a
+        block fetch, not a file re-read."""
+        from raydf.match import DRIVER_CASCADE_ROWS
+
+        srcs = (full, delta, old)
+        ubs = [s.upper_bound() for s in srcs]
+        if any(u is None for u in ubs) or sum(ubs) > DRIVER_CASCADE_ROWS:
+            return None
+        cols = ["subj", "pred", "obj", "sign", "graph"]
+        empty = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols}).astype(
+            {"sign": bool}
+        )
+
+        def df_of(s):
+            if isinstance(s, DatasetSource):
+                return s.ds.to_pandas()[cols]
+            if isinstance(s, EmptySource) or (s.upper_bound() or 0) == 0:
+                return empty
+            return None
+
+        frames = [df_of(s) for s in srcs]
+        if any(f is None for f in frames):
+            return None
+        return tuple(frames)
+
     def run_round(self, round_no: int) -> dict:
         t0 = time.time()
-        full = ParquetSource(self.triple_files(hi=round_no - 1))
-        delta = ParquetSource(self.triple_files(lo=round_no - 1, hi=round_no - 1))
-        old_files = self.triple_files(hi=round_no - 2)
-        old = ParquetSource(old_files) if old_files else EmptySource()
+        full = self._round_source(hi=round_no - 1)
+        delta = self._round_source(lo=round_no - 1, hi=round_no - 1)
+        old = self._round_source(hi=round_no - 2)
 
         cand_parts, eq_parts, ne_parts, true_parts, term_parts = [], [], [], [], []
         per_rule = {}
         per_rule_secs = {}
+
+        # Tiny-store fast path: when full+Δ+old all fit the driver budget
+        # (they are then memory-resident DatasetSources anyway), collect
+        # each ONCE and run every rule's cascade in-process — pandas
+        # merges instead of one Ray job per pattern per decomposition per
+        # rule. Late fixpoint rounds over small stores are pure job-launch
+        # overhead otherwise (measured: 12.9 s rule wall at sf0.1 for a
+        # 40k-row store). Large stores keep the distributed cascade.
+        frames = self._driver_frames(full, delta, old)
 
         def _rule_task(args):
             """One rule's binding job — materialization runs inside a thread
@@ -578,11 +641,28 @@ class FixpointEngine:
             # generation fuses into one streaming execution; Eq/True rules
             # need distinct bindings (consumers see rows directly)
             needs_dedup = self._needs_dedup(rule)
+            cnt = None
+            if frames is not None:
+                from raydf.match import rule_bindings_df
+
+                full_df, delta_df, old_df = frames
+                bdf = rule_bindings_df(
+                    rule, full_df, delta_df=delta_df, old_df=old_df,
+                    dedup=needs_dedup,
+                )
+                if bdf is None or len(bdf) == 0:
+                    return (rule_idx, rule, None, needs_dedup,
+                            0 if needs_dedup and bdf is not None else None,
+                            time.time() - t_rule)
+                b = rd.from_arrow(pa.Table.from_pandas(bdf, preserve_index=False))
+                if needs_dedup:
+                    cnt = len(bdf)
+                b = self._resolved_bindings(rule, b)
+                return rule_idx, rule, b, needs_dedup, cnt, time.time() - t_rule
             b = rule_bindings(
                 rule, full, delta=delta, old=old,
                 num_partitions=self.num_partitions, dedup=needs_dedup,
             )
-            cnt = None
             if b is not None and needs_dedup:  # materialized → count is cheap
                 cnt = b.count()
                 if cnt > 0:

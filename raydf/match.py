@@ -124,12 +124,9 @@ class EmptySource(TripleSource):
 # ------------------------------------------------------- per-pattern match
 
 
-def make_pattern_filter(sp: SignedPattern):
-    """Build the vectorized batch filter+projection for one signed pattern.
-
-    Returns a callable: pa.Table(subj,pred,obj,sign,...) -> pa.Table of
-    bindings (columns v{i}:int64).
-    """
+def _analyze_pattern(sp: SignedPattern):
+    """Shared pattern decomposition: constant positions, repeated-variable
+    equality pairs, and the var→position projection (sorted by var idx)."""
     pattern = sp.pattern
     consts = []  # (position, term_id)
     var_first: dict[int, str] = {}  # var idx -> first position holding it
@@ -145,8 +142,18 @@ def make_pattern_filter(sp: SignedPattern):
                 eq_pairs.append((var_first[t.idx], pos))
             else:
                 var_first[t.idx] = pos
-    sign = sp.sign
     out_cols = sorted(var_first.items())  # [(var_idx, position)]
+    return consts, eq_pairs, out_cols
+
+
+def make_pattern_filter(sp: SignedPattern):
+    """Build the vectorized batch filter+projection for one signed pattern.
+
+    Returns a callable: pa.Table(subj,pred,obj,sign,...) -> pa.Table of
+    bindings (columns v{i}:int64).
+    """
+    consts, eq_pairs, out_cols = _analyze_pattern(sp)
+    sign = sp.sign
 
     def _filter(batch: pa.Table) -> pa.Table:
         mask = pc.equal(batch["sign"], sign)
@@ -314,6 +321,95 @@ def find_bindings(items: list, *, num_partitions: int = 32):
         bound |= pvars
 
     return bindings
+
+
+# ----------------------------------------------- driver-side tiny-store path
+
+DRIVER_CASCADE_ROWS = 200_000  # full+Δ+old rows below this → in-process cascade
+
+
+def match_pattern_df(df: pd.DataFrame, sp: SignedPattern) -> pd.DataFrame:
+    """In-process pattern match over a driver-resident triple frame —
+    identical semantics to :func:`make_pattern_filter`, numpy-vectorized."""
+    import numpy as np
+
+    consts, eq_pairs, out_cols = _analyze_pattern(sp)
+    mask = df["sign"].to_numpy() == sp.sign
+    for pos, tid in consts:
+        mask &= df[pos].to_numpy() == tid
+    for a, b in eq_pairs:
+        mask &= df[a].to_numpy() == df[b].to_numpy()
+    sub = df.loc[mask]
+    return pd.DataFrame(
+        {f"v{i}": sub[pos].to_numpy(np.int64) for i, pos in out_cols}
+    )
+
+
+def find_bindings_df(items: list) -> pd.DataFrame | None:
+    """In-process join cascade: list of (SignedPattern, pd.DataFrame,
+    priority) → bindings frame (or None when no match). Same greedy join
+    order and binding-consistency semantics as :func:`find_bindings`,
+    executed as pandas merges — zero Ray jobs. The tiny-store fast path:
+    on late fixpoint rounds over small stores the distributed cascade's
+    per-job launch cost dominates wall time by orders of magnitude."""
+    ordered = order_patterns(items)
+    bindings: pd.DataFrame | None = None
+    bound: set[int] = set()
+    for sp, df, _prio in ordered:
+        matched = match_pattern_df(df, sp)
+        pvars = sp.pattern.vars
+        if bindings is None:
+            bindings = matched
+        else:
+            if len(bindings) == 0 or len(matched) == 0:
+                return None
+            shared = sorted(bound & pvars)
+            if shared:
+                keys = [f"v{i}" for i in shared]
+                bindings = bindings.merge(matched, on=keys, how="inner")
+            else:  # disconnected hypothesis: cartesian product
+                bindings = bindings.merge(matched, how="cross")
+        if len(bindings) == 0:
+            return None
+        bound |= pvars
+    return bindings
+
+
+def rule_bindings_df(rule: Rule, full_df: pd.DataFrame, *,
+                     delta_df: pd.DataFrame | None = None,
+                     old_df: pd.DataFrame | None = None,
+                     dedup: bool = True) -> pd.DataFrame | None:
+    """In-process :func:`rule_bindings` — same naive / semi-naive
+    decompositions over driver-resident frames."""
+    patterns = list(rule.hypothesis)
+    var_cols = [f"v{i}" for i in range(rule.variables)
+                if any(i in sp.pattern.vars for sp in patterns)]
+    empty = pd.DataFrame(columns=["subj", "pred", "obj", "sign", "graph"])
+
+    def _finish(parts):
+        if not parts:
+            return None
+        parts = [b[var_cols] for b in parts]
+        out = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        if dedup:
+            out = out.drop_duplicates(ignore_index=True)
+        return out
+
+    if delta_df is None:
+        b = find_bindings_df([(sp, full_df, 0) for sp in patterns])
+        return _finish([b] if b is not None else [])
+
+    old_df = old_df if old_df is not None else empty
+    results = []
+    for i in range(len(patterns)):
+        items = []
+        for j, sp in enumerate(patterns):
+            src = full_df if j < i else (delta_df if j == i else old_df)
+            items.append((sp, src, 1 if j == i else 0))
+        b = find_bindings_df(items)
+        if b is not None:
+            results.append(b)
+    return _finish(results)
 
 
 def rule_bindings(rule: Rule, full: TripleSource, *, delta: TripleSource | None = None,

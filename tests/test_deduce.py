@@ -251,3 +251,45 @@ def test_identity_eq_conclusions_dropped_at_source():
     )
     out_ne = make_eqs_fn(rn, 0, 1, sign=False)(df).to_pandas()
     assert len(out_ne) == 3  # !Eq(x,x) contradictions preserved
+
+
+def test_distributed_cascade_matches_driver_fast_path(tmp_workdir, monkeypatch):
+    """The tiny-store driver cascade and the distributed cascade must
+    derive identical closures. Zeroing both fast-path thresholds forces
+    every round through ParquetSource scans + the Ray join cascade; the
+    default run takes the in-process path on the same input."""
+    import os
+
+    import raydf.match as match_mod
+    from raydf.deduce import FixpointEngine
+
+    E = "https://example.org/#edge"
+    nodes = [R.iri(f"m{i}") for i in range(7)]
+    rows = [(nodes[i], R.iri(E), nodes[i + 1]) for i in range(6)]
+    triples, _ = triples_from_terms(rows)
+    system = R.System()
+    system.insert(
+        R.rule(
+            3,
+            [R.pat(R.v(0), R.iri(E), R.v(1)), R.pat(R.v(1), R.iri(E), R.v(2))],
+            [R.triple_st(R.v(0), R.iri(E), R.v(2))],
+            name="trans",
+        )
+    )
+
+    def run(sub, **patches):
+        for k, v in patches.pop("match_attrs", {}).items():
+            monkeypatch.setattr(match_mod, k, v)
+        for k, v in patches.items():
+            monkeypatch.setattr(FixpointEngine, k, v)
+        eng = _run_engine(system, triples, os.path.join(tmp_workdir, sub))
+        out = eng.dataset().to_pandas()
+        monkeypatch.undo()
+        return {(s, p, o, g) for s, p, o, g in
+                zip(out["subj"], out["pred"], out["obj"], out["graph"])}
+
+    fast = run("fast")
+    slow = run("slow", RESIDENT_STORE_ROWS=0,
+               match_attrs={"DRIVER_CASCADE_ROWS": 0})
+    assert fast == slow
+    assert len(fast) == 21  # closure of a 7-node chain
