@@ -970,6 +970,25 @@ def _multimodal_featurize(sf_dir: str):
     return out.select_columns(["media_id", "decoded"])
 
 
+def _repetition_scores(sf_dir: str):
+    """Gopher-style repetition quality signals (duplicate-line fraction,
+    top-bigram fraction) as exact integer micro-fractions."""
+    from raydf.datapipe.text import repetition_scores
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(repetition_scores, batch_format="pyarrow")
+
+
+def _stratified_sample_docs(sf_dir: str):
+    """Balanced per-language sample: 20 docs per lang by md5 order —
+    deterministic, engine-reproducible subset selection."""
+    from raydf.datapipe.corpus import stratified_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = stratified_sample(docs, ["lang"], 20, key="doc_id")
+    return out.select_columns(["doc_id", "lang"])
+
+
 def _multimodal_histogram(sf_dir: str):
     """SQL-checked decode correctness: integer pixel histograms over the
     synthetic sha256-derived payloads (the oracle rebuilds every byte from
@@ -1060,6 +1079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_chunks": _pack_chunks,
         "multimodal_featurize": _multimodal_featurize,
         "multimodal_histogram": _multimodal_histogram,
+        "repetition_scores": _repetition_scores,
+        "stratified_sample_docs": _stratified_sample_docs,
     }
 
 
@@ -1570,6 +1591,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dedup_docs": _minhash_oracle_sql(),
         "simhash_pairs_docs": _simhash_oracle_sql(),
+        "repetition_scores": r"""
+            WITH l AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+              FROM documents
+            ), nl AS (
+              SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT line) AS nd
+              FROM l GROUP BY 1
+            ), tk AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents
+            ), bgi AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, GREATEST(len(t) - 1, 0))) AS i
+              FROM tk
+            ), bg AS (
+              SELECT doc_id, t[i] || ' ' || t[i + 1] AS b FROM bgi
+            ), mx AS (
+              SELECT doc_id, MAX(c) AS mc, SUM(c) AS nb
+              FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   (nl.n - nl.nd) * 1000000 // nl.n AS dup_line_frac_e6,
+                   CAST(COALESCE(mx.mc * 1000000 // mx.nb, 0) AS BIGINT)
+                       AS top_bigram_frac_e6
+            FROM documents d
+            JOIN nl ON nl.doc_id = d.doc_id
+            LEFT JOIN mx ON mx.doc_id = d.doc_id
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, lang FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY lang
+                ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+            ) <= 20
+        """,
         "multimodal_histogram": """
             -- rebuild the synthetic payload (sha256('image-'||i) digest
             -- bytes repeated 32x = 1024 fake pixels) and re-bin it:

@@ -46,6 +46,35 @@ def split_by_hash(ds, key: str = "doc_id", train_pct: int = 80,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def stratified_sample(ds, strata: list[str], n: int, *, key: str = "doc_id",
+                      num_partitions: int | None = None):
+    """Deterministic stratified sample: the ``n`` rows with the smallest
+    ``md5_u64(str(key))`` per stratum (ties broken by the key) — a
+    balanced per-group subset that any engine reproduces exactly
+    (DuckDB: ``ROW_NUMBER() OVER (PARTITION BY strata ORDER BY
+    md5_number_lower(key), key) <= n``).
+
+    Distribution shape: :func:`raydf.relops.topk_per_group` — per-block
+    combiner keeps ≤ n rows per stratum per block, so the shuffle moves
+    ``strata × n × blocks`` rows at most, never the corpus."""
+    from raydf.datapipe.dedup import md5_u64
+    from raydf.relops import topk_per_group
+
+    # md5_u64 is uint64; topk orders int64. Shift into signed order-
+    # preserving form: x - 2^63 keeps uint64 ordering under int64 compare.
+    def add_hash_signed(batch: pa.Table) -> pa.Table:
+        ids = pd.Series(batch[key].to_pylist()).astype(str).to_numpy(object)
+        h = (md5_u64(ids) - np.uint64(1 << 63)).astype(np.int64)
+        return batch.append_column("__h", pa.array(h, pa.int64()))
+
+    out = topk_per_group(
+        ds.map_batches(add_hash_signed, batch_format="pyarrow"),
+        strata, "__h", n, ascending=True, tie_cols=[key],
+        num_partitions=num_partitions,
+    )
+    return out.drop_columns(["__h"])
+
+
 def pack_chunks(
     ds,
     token_col: str = "n_tokens",

@@ -112,6 +112,56 @@ def quality_score(batch: pa.Table) -> pa.Table:
     return out
 
 
+_WORDS_RE = r"\w+"
+
+
+def repetition_scores(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per document: fraction of duplicate
+    lines and fraction of occurrences of the most frequent word bigram.
+
+    Emitted as integer micro-fractions (``*_e6``, floor division) so the
+    driver's value-hash compare against a SQL oracle is exact — float
+    fractions would be at the mercy of engine-specific last-ulp rounding.
+    Vectorized via explode+groupby (no per-row Python)."""
+    texts = pd.Series(batch["text"].to_pylist())
+    idx = pd.RangeIndex(len(texts))
+    texts.index = idx
+
+    # duplicate-line fraction
+    lines = texts.str.split("\n")
+    n_lines = lines.map(len).to_numpy(np.int64)
+    ex = lines.explode()
+    nd = (
+        pd.DataFrame({"i": ex.index.to_numpy(), "l": ex.to_numpy()})
+        .drop_duplicates()
+        .groupby("i")
+        .size()
+        .reindex(idx, fill_value=0)
+        .to_numpy(np.int64)
+    )
+    dup_line_frac = (n_lines - nd) * 1_000_000 // np.maximum(n_lines, 1)
+
+    # top word-bigram fraction
+    toks = texts.str.lower().str.findall(_WORDS_RE)
+    t = toks.explode().dropna()
+    d = pd.DataFrame({"i": t.index.to_numpy(), "w": t.to_numpy()})
+    d["w2"] = d["w"].shift(-1)
+    d["i2"] = np.append(d["i"].to_numpy()[1:], -1)
+    bg = d[d["i"] == d["i2"]]
+    if len(bg):
+        counts = bg.groupby(["i", "w", "w2"], sort=False).size()
+        mc = counts.groupby(level="i").max()
+        nb = counts.groupby(level="i").sum()
+        top = (mc * 1_000_000 // nb).reindex(idx, fill_value=0).to_numpy(np.int64)
+    else:
+        top = np.zeros(len(texts), np.int64)
+
+    out = batch.select(["doc_id"])
+    out = out.append_column("dup_line_frac_e6", pa.array(dup_line_frac, pa.int64()))
+    out = out.append_column("top_bigram_frac_e6", pa.array(top, pa.int64()))
+    return out
+
+
 def _roll64(data: bytes) -> int:
     """Base-131 polynomial hash mod 2^64 (≡ the per-byte Horner loop
     ``h = h*131 + ch``), vectorized: powers via uint64 cumprod (numpy

@@ -562,9 +562,16 @@ class FixpointEngine:
     # round cost 22.5 s, ~all of it re-scanning a 4k-row store dozens of
     # times (patterns × decompositions × rules). Above the limit the
     # file-backed path with row-group pushdown is the right scale
-    # behavior, so large runs (e.g. the 122M-row 12M-file store) are
-    # untouched.
-    RESIDENT_STORE_ROWS = 2_000_000
+    # behavior. 250k (not 2M): an A/B at 1M synthetic files showed
+    # materializing 1-2M-row deltas LOSES to filtered file re-reads
+    # (352 s vs 300 s end-to-end) — constant pushdown into row groups
+    # beats in-memory full scans once slices stop being trivially small.
+    RESIDENT_STORE_ROWS = 250_000
+
+    def _resident_rows(self) -> int:
+        return int(
+            os.environ.get("RAYDF_RESIDENT_ROWS", str(self.RESIDENT_STORE_ROWS))
+        )
 
     def _round_source(self, lo=None, hi=None):
         """File-backed source for a round slice, or a memory-resident one
@@ -575,7 +582,7 @@ class FixpointEngine:
             return EmptySource()
         ps = ParquetSource(files)
         ub = ps.upper_bound() or 0
-        if ub <= self.RESIDENT_STORE_ROWS:
+        if ub <= self._resident_rows():
             ds = rd.read_parquet(
                 files, columns=["subj", "pred", "obj", "sign", "graph"]
             ).materialize()
@@ -587,11 +594,16 @@ class FixpointEngine:
         when any source is unbounded / the total exceeds the driver
         budget. Only memory-resident sources qualify, so to_pandas is a
         block fetch, not a file re-read."""
-        from raydf.match import DRIVER_CASCADE_ROWS
+        from raydf import match as match_mod
 
+        budget = int(
+            os.environ.get(
+                "RAYDF_DRIVER_CASCADE_ROWS", str(match_mod.DRIVER_CASCADE_ROWS)
+            )
+        )
         srcs = (full, delta, old)
         ubs = [s.upper_bound() for s in srcs]
-        if any(u is None for u in ubs) or sum(ubs) > DRIVER_CASCADE_ROWS:
+        if any(u is None for u in ubs) or sum(ubs) > budget:
             return None
         cols = ["subj", "pred", "obj", "sign", "graph"]
         empty = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols}).astype(

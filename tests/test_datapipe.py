@@ -270,3 +270,54 @@ def test_frame_sample_rows_per_duration():
     )
     per = out.groupby("media_id")["frame"].count()
     assert per[0] == 3 and per[1] == 1 and per[2] == 1
+
+
+# ------------------------------------------------- repetition / sampling
+
+
+def test_repetition_scores_golden():
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a\nb\na\na",          # 4 lines, 2 distinct -> 500000
+                    "x y x y x y z",       # bigrams: 'x y'x3,'y x'x2,'y z' -> 3/6
+                    "unique lines only",   # no dup lines, all bigrams unique
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = text.repetition_scores(tbl).to_pandas().set_index("doc_id")
+    assert out.loc[1, "dup_line_frac_e6"] == 500000
+    assert out.loc[2, "dup_line_frac_e6"] == 0
+    assert out.loc[2, "top_bigram_frac_e6"] == 3 * 1_000_000 // 6
+    assert out.loc[3, "dup_line_frac_e6"] == 0
+    assert out.loc[3, "top_bigram_frac_e6"] == 500000  # 1 of 2 bigrams
+
+
+def test_stratified_sample_deterministic_and_balanced():
+    from raydf.datapipe.corpus import stratified_sample
+    from raydf.datapipe.dedup import md5_u64
+
+    n_docs, per = 200, 5
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+            "lang": pa.array(["en" if i % 2 else "fr" for i in range(n_docs)]),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    got = stratified_sample(ds, ["lang"], per).to_pandas()
+    assert (got.groupby("lang")["doc_id"].count() == per).all()
+    # ground truth: smallest md5_u64(str(id)) per lang
+    df = tbl.to_pandas()
+    df["h"] = md5_u64(df["doc_id"].astype(str).to_numpy(object))
+    want = set(
+        df.sort_values(["h", "doc_id"]).groupby("lang").head(per)["doc_id"]
+    )
+    assert set(got["doc_id"]) == want
+    # deterministic under re-run
+    again = stratified_sample(ds, ["lang"], per).to_pandas()
+    assert set(again["doc_id"]) == want
