@@ -844,6 +844,35 @@ def _ann_ivf_topk(sf_dir: str):
     )
 
 
+def _ann_ivf_full_probe(sf_dir: str):
+    """SQL-checked IVF plumbing: probing ALL buckets (nprobe == n_centroids)
+    makes index→probe→rerank exactly brute-force top-k, so the DuckDB
+    list_cosine_similarity oracle value-checks the whole path (the pruned
+    nprobe<nlist behavior stays covered by the recall pytest)."""
+    from raydf.datapipe.ann import ivf_index, ivf_search
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = (
+        emb.map_batches(
+            lambda t: t.filter(pa.compute.equal(t["vec_id"], 0)), batch_format="pyarrow"
+        )
+        .to_pandas()["embedding"]
+        .iloc[0]
+    )
+    indexed, cents = ivf_index(emb, len(q), n_centroids=16)
+    top = ivf_search(
+        indexed, np.asarray(q, np.float64), cents, k=5, nprobe=16, dtype=np.float64
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(top["vec_id"].to_numpy(np.int64), pa.int64()),
+            "score_e6": pa.array(
+                np.rint(top["score"].to_numpy() * 1e6).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 def _ngram_jaccard_docs(sf_dir: str):
     """Rows-only: exact pairwise n-gram Jaccard verifier over a small slice."""
     from raydf.datapipe.dedup import ngram_jaccard_pairs
@@ -1066,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _doc_fingerprint,
         "ann_topk": _ann_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_ivf_full_probe": _ann_ivf_full_probe,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,
@@ -1435,6 +1465,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC
             LIMIT 5
         """,
+        "ann_ivf_full_probe": """
+            SELECT e.vec_id,
+                   CAST(ROUND(list_cosine_similarity(e.embedding, q.embedding) * 1e6)
+                        AS BIGINT) AS score_e6
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC
+            LIMIT 5
+        """,
         "embedding_neardup": """
             WITH aug AS (
                 SELECT vec_id, embedding FROM embeddings
@@ -1658,8 +1697,9 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hist h ON h.media_id = i.media_id AND h.bin = b.bin
             ORDER BY i.media_id, b.bin
         """,
-        # multimodal (stub codecs, list<float32> output), ann_ivf (approximate
-        # by design) and the full fixpoint pipeline (recursive deduction +
-        # skolemization; every stage is independently SQL-checked instead)
-        # are non-SQL-expressible → rows-only checks.
+        # multimodal_featurize (stub codecs, list<float32> output),
+        # ann_ivf_topk (approximate by design; its plumbing is SQL-checked
+        # via ann_ivf_full_probe and recall-checked by pytest) and the full
+        # fixpoint pipeline (recursive deduction + skolemization; every
+        # stage is independently SQL-checked instead) are rows-only checks.
     }

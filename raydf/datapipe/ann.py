@@ -234,11 +234,15 @@ def ivf_index(embeddings_ds, dim: int, *, n_centroids: int = 16,
 
 def ivf_search(indexed_ds, query: np.ndarray, centroids: np.ndarray, *,
                k: int = 10, nprobe: int = 4, vec_col: str = "embedding",
-               id_col: str = "vec_id") -> pd.DataFrame:
-    q = np.asarray(query, dtype=np.float32)
+               id_col: str = "vec_id", dtype=np.float32) -> pd.DataFrame:
+    """``nprobe == len(centroids)`` probes every bucket — the result is
+    then EXACTLY the brute-force top-k (and with ``dtype=np.float64``
+    matches a double-precision SQL oracle), which is how the end-to-end
+    index→probe→rerank plumbing is value-checked by the driver."""
+    q = np.asarray(query, dtype=dtype)
     q = q / (np.linalg.norm(q) or 1.0)
     cents = _normalize(centroids.astype(np.float32))
-    probe = set(np.argsort(-(cents @ q))[:nprobe].tolist())
+    probe = set(np.argsort(-(cents @ q.astype(np.float32)))[:nprobe].tolist())
 
     import pyarrow.compute as pc
 
@@ -246,4 +250,4 @@ def ivf_search(indexed_ds, query: np.ndarray, centroids: np.ndarray, *,
         lambda t: t.filter(pc.is_in(t["centroid"], value_set=pa.array(sorted(probe), pa.int32()))),
         batch_format="pyarrow",
     )
-    return cosine_topk(pruned, q, k=k, id_col=id_col, vec_col=vec_col)
+    return cosine_topk(pruned, q, k=k, id_col=id_col, vec_col=vec_col, dtype=dtype)
