@@ -70,7 +70,10 @@ def _source_code_from_documents(sf_dir: str):
                     [f"docs/{l}/doc_{i}.txt" for i, l in zip(ids, langs)], pa.string()
                 ),
                 "commit": pa.array(
-                    [hashlib.sha1(f"doc-{i}".encode()).hexdigest()[:12] for i in ids],
+                    # sha256 (not sha1): DuckDB has no sha1(), and the
+                    # commit literal must be recomputable by the flagship
+                    # SQL oracle
+                    [hashlib.sha256(f"doc-{i}".encode()).hexdigest()[:12] for i in ids],
                     pa.string(),
                 ),
                 "lang": pa.array(langs, pa.string()),

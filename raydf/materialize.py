@@ -78,42 +78,80 @@ def _decode_broadcast(triples_ds, terms_df: pd.DataFrame):
     return triples_ds.map_batches(_dec, batch_format="pandas")
 
 
-def _decode_joined(triples_ds, terms_ds, *, num_partitions: int = 16):
-    """3× hash-join decode: triples ⋈ terms on subj, pred, obj in turn.
-    Shuffles ∝ triples + dictionary; nothing driver-resident."""
+def _decode_joined(triples_ds, terms_ds, *, num_partitions: int | None = None):
+    """3× partitioned-lookup decode: triples ⋈ terms on subj, pred, obj in
+    turn, each as ONE union+groupby shuffle with an in-process sorted-
+    searchsorted lookup per partition. Shuffles ∝ triples + dictionary;
+    nothing driver-resident. Deliberately avoids Ray's native
+    JoinOperator — its empty hash partitions emit schema-less blocks that
+    crash chained joins ("No match … FieldRef", Ray 2.49; same fix as
+    canonicalize.remap_triples_joined — regression:
+    test_decode_join_path_matches_broadcast)."""
+    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    from raydf.match import _join_partitions
+    from raydf.canonicalize import _mix_mod
+    from raydf.joins import default_partitions
 
-    P = _join_partitions(num_partitions)
+    P = num_partitions if num_partitions is not None else default_partitions()
 
-    def side(key: str, out: str):
-        def f(t: pa.Table) -> pa.Table:
-            return t.select(["term_id", "lexical"]).rename_columns([key, out])
+    out = triples_ds.select_columns(["subj", "pred", "obj", "sign"])
+    fields = [
+        ("subj", pa.int64()), ("pred", pa.int64()),
+        ("obj", pa.int64()), ("sign", pa.bool_()),
+    ]
+    for key, new in (("subj", "s_lex"), ("pred", "p_lex"), ("obj", "o_lex")):
+        cur = tuple(fields)
+        lcols = tuple(nm for nm, _ in cur)
 
-        return f
+        def tag_left(t: pa.Table, _k=key) -> pa.Table:
+            ids = t[_k].to_numpy(zero_copy_only=False)
+            t = t.append_column("__tid", pa.nulls(len(t), pa.int64()))
+            t = t.append_column("__lex", pa.nulls(len(t), pa.large_string()))
+            t = t.append_column("__side", pa.array(np.zeros(len(t), np.int8)))
+            return t.append_column("__p", pa.array(_mix_mod(ids, P), pa.int64()))
 
-    j = triples_ds.select_columns(["subj", "pred", "obj", "sign"])
-    # native-join empty-side guard (Ray 2.49 aggregator crashes when a
-    # side contributes zero blocks)
-    if j.limit(1).count() == 0:
-        import pyarrow as pa
+        def tag_right(t: pa.Table, _cur=cur) -> pa.Table:
+            n = len(t)
+            tid = t["term_id"].to_numpy(zero_copy_only=False)
+            data = {nm: pa.nulls(n, ty) for nm, ty in _cur}
+            data["__tid"] = t["term_id"].cast(pa.int64())
+            data["__lex"] = t["lexical"].cast(pa.large_string())
+            data["__side"] = pa.array(np.ones(n, np.int8))
+            data["__p"] = pa.array(_mix_mod(tid, P), pa.int64())
+            return pa.table(data)
 
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "s_lex": pa.array([], pa.large_string()),
-                    "p_lex": pa.array([], pa.large_string()),
-                    "o_lex": pa.array([], pa.large_string()),
-                    "sign": pa.array([], pa.bool_()),
-                }
-            )
+        u = out.map_batches(tag_left, batch_format="pyarrow").union(
+            terms_ds.map_batches(tag_right, batch_format="pyarrow")
         )
-    for key, out in (("subj", "s_lex"), ("pred", "p_lex"), ("obj", "o_lex")):
-        rhs = terms_ds.map_batches(side(key, out), batch_format="pyarrow")
-        j = j.join(rhs, join_type="inner", num_partitions=P, on=(key,),
-                   validate_schemas=False)
-    return j.select_columns(["s_lex", "p_lex", "o_lex", "sign"])
+
+        def merge(t: pa.Table, _k=key, _new=new, _lcols=lcols) -> pa.Table:
+            right = pc.equal(t["__side"], 1)
+            l = t.filter(pc.invert(right)).select(list(_lcols))
+            r = t.filter(right)
+            ids = l[_k].to_numpy(zero_copy_only=False)
+            k = r["__tid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lex = np.asarray(r["__lex"].to_pylist(), dtype=object)
+            k, first = np.unique(k, return_index=True)
+            lex = lex[first]
+            if len(k) and len(ids):
+                pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
+                hit = k[pos] == ids
+            else:
+                pos = np.zeros(len(ids), np.int64)
+                hit = np.zeros(len(ids), bool)
+            l = l.filter(pa.array(hit))  # inner-join semantics
+            vals = lex[pos[hit]] if len(k) else np.empty(0, object)
+            return l.drop_columns([_k]).append_column(
+                _new, pa.array(vals, pa.large_string())
+            )
+
+        out = u.groupby("__p").map_groups(merge, batch_format="pyarrow")
+        fields = [(nm, ty) for nm, ty in fields if nm != key] + [
+            (new, pa.large_string())
+        ]
+    return out.select_columns(["s_lex", "p_lex", "o_lex", "sign"])
 
 
 def read_graph(out_dir: str):

@@ -9,26 +9,32 @@ survives distribution: a global counter would serialize every task through
 one actor and break task-retry idempotency. Instead every term id is a
 **deterministic 64-bit hash** of ``(kind, datatype, lexical)``:
 
-    term_id = blake2b_64(kind · 0x1f · datatype · 0x1f · lexical)
+    term_id = md5_low64(kind · 0x1f · datatype · 0x1f · lexical)
 
-so any worker can intern any term with no coordination, re-running a task
-yields identical ids, and the dictionary itself is just a by-product
-(dedup of emitted (term_id, kind, lexical, datatype) rows).
+(the low 8 md5 digest bytes, little-endian, as signed int64 — exactly
+DuckDB's ``md5_number_lower`` reinterpreted as two's-complement BIGINT)
+so any worker can intern any term with no coordination, re-running a
+task yields identical ids, and the dictionary itself is just a
+by-product (dedup of emitted (term_id, kind, lexical, datatype) rows).
+md5 (not a keyed fast hash) is deliberate: term ids — and everything
+derived from them, skolem ids and the Eq-merge canonical min-id choice
+included — are recomputable from ANY engine, which is what lets DuckDB
+oracles value-check pipelines end to end.
 
 Collision note: 64 bits is comfortable to ~10^8 distinct terms
-(p(collision) < 1e-3). At the full 10^12-file scale, switch
-``DIGEST_SIZE`` to 16 and store ids as ``fixed_size_binary(16)``; every
+(p(collision) < 1e-3). At the full 10^12-file scale, switch to the
+full 16-byte digest and store ids as ``fixed_size_binary(16)``; every
 kernel below is width-agnostic.
 
 Vectorization: hashing happens on *unique* values per batch
 (np.unique + inverse scatter) — term columns are massively repetitive
-(predicates, repos, langs), so the Python-level blake2b loop touches few
+(predicates, repos, langs), so the Python-level md5 loop touches few
 distinct strings per batch.
 """
 
 from __future__ import annotations
 
-from hashlib import blake2b
+from hashlib import md5
 
 import numpy as np
 import pyarrow as pa
@@ -40,7 +46,9 @@ DIGEST_SIZE = 8
 
 
 def _h64(data: bytes) -> int:
-    return int.from_bytes(blake2b(data, digest_size=DIGEST_SIZE).digest(), "little", signed=True)
+    """Low 8 md5 bytes, little-endian, signed — SQL-reproducible:
+    DuckDB ``md5_number_lower(s)`` minus 2^64 when ≥ 2^63."""
+    return int.from_bytes(md5(data).digest()[8:], "little", signed=True)
 
 
 def term_key(kind: int, lexical: str, datatype: str | None = None) -> str:
