@@ -1036,7 +1036,13 @@ def _multimodal_histogram(sf_dir: str):
 
 
 def _kg_full_pipeline(sf_dir: str):
-    """Rows-only: full flagship pipeline at the given sf; returns decoded triples."""
+    """Full flagship pipeline at the given sf; returns decoded triples.
+    SQL-CHECKED end to end: every stage is recomputable in DuckDB for this
+    input shape — structural extraction is pure string algebra, the
+    entity-link scorer reduces to exact stem equality (ratio 1.0), the
+    contains closure is a recursive CTE, the Eq-merge canonical choice is
+    min md5-derived term id (terms._h64 == md5_number_lower as signed
+    int64), and the commit literal is sha256-derived."""
     from raydf.materialize import decode_graph
     from raydf.pipeline import kg_pipeline
 
@@ -1700,9 +1706,79 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hist h ON h.media_id = i.media_id AND h.bin = b.bin
             ORDER BY i.media_id, b.bin
         """,
-        # multimodal_featurize (stub codecs, list<float32> output),
+        "kg_full_pipeline": r"""
+            -- DuckDB replica of the ENTIRE flagship pipeline on the derived
+            -- source_code input: structural extraction (repo→dir→dir→file
+            -- containment, writtenIn, atCommit, declaresModule), the
+            -- module↔file entity link (exact stem equality on this input ≡
+            -- the difflib ratio≥0.9 scorer), sameAs ⇒ Eq union-find merge
+            -- with canonical = min signed-int64 md5 term id (exactly
+            -- raydf.terms._h64), transitive contains closure and
+            -- type_source_file propagation over the MERGED store, decoded
+            -- back to lexical form. Mention rules never fire (document
+            -- langs carry no code grammar) — their emptiness is part of
+            -- what this checks.
+            WITH RECURSIVE base AS (
+              SELECT doc_id, lang, source,
+                     'docs/' || lang || '/doc_' || doc_id || '.txt' AS path,
+                     substring(sha256('doc-' || doc_id), 1, 12) AS commit
+              FROM documents
+            ), nodes AS (
+              SELECT *,
+                     'repo:corpus/' || source AS repo_node,
+                     'dir:corpus/' || source || '/docs' AS dir1,
+                     'dir:corpus/' || source || '/docs/' || lang AS dir2,
+                     'file:corpus/' || source || '/' || path AS file_node,
+                     'module:doc_' || doc_id AS module_node
+              FROM base
+            ), sid AS (
+              SELECT *,
+                CAST(CASE WHEN md5_number_lower('0' || chr(31) || chr(31) || file_node)
+                          >= 9223372036854775808::HUGEINT
+                     THEN md5_number_lower('0' || chr(31) || chr(31) || file_node)::HUGEINT
+                          - 18446744073709551616::HUGEINT
+                     ELSE md5_number_lower('0' || chr(31) || chr(31) || file_node)::HUGEINT
+                     END AS BIGINT) AS fid,
+                CAST(CASE WHEN md5_number_lower('0' || chr(31) || chr(31) || module_node)
+                          >= 9223372036854775808::HUGEINT
+                     THEN md5_number_lower('0' || chr(31) || chr(31) || module_node)::HUGEINT
+                          - 18446744073709551616::HUGEINT
+                     ELSE md5_number_lower('0' || chr(31) || chr(31) || module_node)::HUGEINT
+                     END AS BIGINT) AS mid
+              FROM nodes
+            ), canon AS (
+              SELECT *, CASE WHEN fid <= mid THEN file_node ELSE module_node END AS entity
+              FROM sid
+            ), edges AS (
+              SELECT DISTINCT repo_node AS a, dir1 AS b FROM canon
+              UNION
+              SELECT DISTINCT dir1, dir2 FROM canon
+              UNION
+              SELECT DISTINCT dir2, entity FROM canon
+            ), reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT DISTINCT * FROM (
+              SELECT a AS s_lex, 'https://raydf.dev/kg#contains' AS p_lex,
+                     b AS o_lex, TRUE AS sign
+              FROM reach
+              UNION ALL
+              SELECT entity, 'https://raydf.dev/kg#declaresModule', entity, TRUE FROM canon
+              UNION ALL
+              SELECT entity, 'https://raydf.dev/kg#atCommit', commit, TRUE FROM canon
+              UNION ALL
+              SELECT entity, 'https://raydf.dev/kg#writtenIn', 'lang:' || lang, TRUE FROM canon
+              UNION ALL
+              SELECT entity, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     'https://raydf.dev/kg#SourceFile', TRUE FROM canon
+              UNION ALL
+              SELECT entity, 'https://raydf.dev/kg#sameAs', entity, TRUE FROM canon
+            )
+        """,
+        # multimodal_featurize (stub codecs, list<float32> output) and
         # ann_ivf_topk (approximate by design; its plumbing is SQL-checked
-        # via ann_ivf_full_probe and recall-checked by pytest) and the full
-        # fixpoint pipeline (recursive deduction + skolemization; every
-        # stage is independently SQL-checked instead) are rows-only checks.
+        # via ann_ivf_full_probe and recall-checked by pytest) are the only
+        # remaining rows-only checks.
     }
