@@ -1021,6 +1021,19 @@ def _stratified_sample_docs(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def _hll_distinct_users(sf_dir: str):
+    """Approximate distinct users per event type as a mergeable HLL
+    sketch, emitted as the exact-integer register histogram — the oracle
+    recomputes every register from md5, so the full sketch state is
+    value-checked (the float estimate is derived from this histogram;
+    accuracy is asserted by pytest)."""
+    from raydf.datapipe.sketch import hll_register_histogram
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = hll_register_histogram(ev, "event_type", "user_id")
+    return out.select_columns(["event_type", "rho", "n_registers"])
+
+
 def _multimodal_histogram(sf_dir: str):
     """SQL-checked decode correctness: integer pixel histograms over the
     synthetic sha256-derived payloads (the oracle rebuilds every byte from
@@ -1120,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_histogram": _multimodal_histogram,
         "repetition_scores": _repetition_scores,
         "stratified_sample_docs": _stratified_sample_docs,
+        "hll_distinct_users": _hll_distinct_users,
     }
 
 
@@ -1674,6 +1688,36 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY lang
                 ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
             ) <= 20
+        """,
+        "hll_distinct_users": f"""
+            -- rebuild every HLL register from md5: bucket = top 12 hash
+            -- bits, rho = leading zeros of the low 52 bits + 1 (exact
+            -- bit_length via a pow2 table, no float log2)
+            WITH vals AS (
+              SELECT DISTINCT event_type, user_id FROM events
+            ), h AS (
+              SELECT event_type,
+                     CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS HUGEINT) AS h
+              FROM vals
+            ), br AS (
+              SELECT event_type,
+                     CAST(h // 4503599627370496 AS BIGINT) AS bucket,
+                     h % 4503599627370496 AS w
+              FROM h
+            ), pow2(j, p) AS (
+              VALUES {",".join(f"({j}, {1 << j})" for j in range(52))}
+            ), bl AS (
+              SELECT event_type, bucket, w,
+                     COALESCE(MAX(CASE WHEN w >= p.p THEN p.j + 1 END), 0) AS b
+              FROM br LEFT JOIN pow2 p ON TRUE
+              GROUP BY 1, 2, 3
+            ), regs AS (
+              SELECT event_type, bucket, MAX(53 - b) AS rho
+              FROM bl GROUP BY 1, 2
+            )
+            SELECT event_type, CAST(rho AS BIGINT) AS rho,
+                   COUNT(*) AS n_registers
+            FROM regs GROUP BY 1, 2
         """,
         "multimodal_histogram": """
             -- rebuild the synthetic payload (sha256('image-'||i) digest

@@ -104,6 +104,9 @@ _BENCH_QUERIES = [
     "q_approx_quantile_order_price",
     "pack_chunks",
     "top_terms",
+    "repetition_scores",
+    "stratified_sample_docs",
+    "decontaminate_docs",
 ]
 
 
