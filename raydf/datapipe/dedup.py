@@ -249,25 +249,23 @@ def jaccard_verify(pairs_ds, docs_df: pd.DataFrame, *, k=5, threshold=0.8,
 def jaccard_verify_joined(pairs_ds, docs_ds, *, k=5, threshold=0.8,
                           text_col="text", id_col="doc_id",
                           num_partitions: int | None = None):
-    """Scale path: double hash-join ``pairs ⋈ docs`` on a then b ships each
-    candidate's text into its pair's partition — the corpus is never
-    collected or broadcast; data moved ∝ candidate pairs, not documents."""
-    from raydf.match import _join_partitions
+    """Scale path: two partitioned lookups ``pairs ⋈ docs`` on a then b
+    ship each candidate's text into its pair's partition — the corpus is
+    never collected or broadcast; data moved ∝ candidate pairs, not
+    documents. Built on joins.partitioned_lookup_join rather than chained
+    native ``Dataset.join`` calls: candidate pairs are FEW, so the first
+    join's empty hash partitions would feed schema-less blocks into the
+    second and crash intermittently (Ray 2.49)."""
+    from raydf.joins import partitioned_lookup_join
 
-    P = _join_partitions(num_partitions or 32)
-
-    def rename(to: str):
-        def f(t: pa.Table) -> pa.Table:
-            return t.select([id_col, text_col]).rename_columns([to, f"text_{to}"])
-
-        return f
-
-    docs_a = docs_ds.map_batches(rename("a"), batch_format="pyarrow")
-    docs_b = docs_ds.map_batches(rename("b"), batch_format="pyarrow")
-    j = pairs_ds.join(docs_a, join_type="inner", num_partitions=P, on=("a",),
-                      validate_schemas=False)
-    j = j.join(docs_b, join_type="inner", num_partitions=P, on=("b",),
-               validate_schemas=False)
+    j = partitioned_lookup_join(
+        pairs_ds, "a", docs_ds, id_col, text_col, "text_a",
+        num_partitions=num_partitions,
+    )
+    j = partitioned_lookup_join(
+        j, "b", docs_ds, id_col, text_col, "text_b",
+        num_partitions=num_partitions,
+    )
     return j.map_batches(
         lambda df: _pair_jaccard(df, k, threshold), batch_format="pandas"
     )

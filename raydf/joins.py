@@ -196,6 +196,70 @@ def partitioned_merge_join(left, right, on: Sequence[str], left_cols: Sequence[s
     return u.groupby("__p").map_groups(merge, batch_format="pyarrow")
 
 
+def partitioned_lookup_join(ds, key_col: str, lookup_ds, lookup_key: str,
+                            lookup_val: str, new_col: str, *,
+                            how: str = "inner", num_partitions: int | None = None):
+    """Attach ``lookup_val`` (any dtype) to ``ds`` rows by ``key_col`` as
+    ONE union+groupby shuffle with an in-process pandas merge per
+    partition. The chained-join-safe alternative to Ray's native
+    JoinOperator, whose empty hash partitions emit schema-less blocks
+    that crash any downstream native join (Ray 2.49 — the reason
+    remap/decode/verify paths all avoid chaining ``Dataset.join``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    P = num_partitions if num_partitions is not None else default_partitions()
+    schema = ds.schema().base_schema
+    lschema = lookup_ds.schema().base_schema
+    val_type = lschema.field(lookup_val).type
+    fields = list(schema)
+
+    def _p(keys: np.ndarray) -> "pa.Array":
+        h = pd.util.hash_array(keys)
+        return pa.array((h % np.uint64(P)).astype(np.int64), pa.int64())
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        t = t.append_column("__lv", pa.nulls(len(t), val_type))
+        t = t.append_column("__lk", pa.nulls(len(t), pa.int64()))
+        t = t.append_column("__side", pa.array(np.zeros(len(t), np.int8)))
+        return t.append_column("__p", _p(keys))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        keys = t[lookup_key].to_numpy(zero_copy_only=False)
+        data = {f.name: pa.nulls(n, f.type) for f in fields}
+        data["__lv"] = t[lookup_val].cast(val_type)
+        data["__lk"] = t[lookup_key].cast(pa.int64())
+        data["__side"] = pa.array(np.ones(n, np.int8))
+        data["__p"] = _p(keys)
+        return pa.table(data)
+
+    u = ds.map_batches(tag_left, batch_format="pyarrow").union(
+        lookup_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    lcols = [f.name for f in fields]
+
+    def merge(t: pa.Table) -> pa.Table:
+        right = pc.equal(t["__side"], 1)
+        l = t.filter(pc.invert(right)).select(lcols + ["__lv"]).to_pandas()
+        r = (
+            t.filter(right)
+            .select(["__lk", "__lv"])
+            .to_pandas()
+            .drop_duplicates("__lk")
+            .rename(columns={"__lk": key_col, "__lv": new_col})
+        )
+        out = l.drop(columns="__lv").merge(r, on=key_col, how=how)
+        if how == "inner" and len(out) == 0:
+            out = out  # keep empty frame with full schema
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema(fields + [pa.field(new_col, val_type)])
+        )
+
+    return u.groupby("__p").map_groups(merge, batch_format="pyarrow")
+
+
 def broadcast_semi_filter(big_ds, keys_df: pd.DataFrame, on: Sequence[str], *, anti: bool = False):
     """Semi/anti join of a big Dataset against a broadcast key set."""
     assert len(keys_df) <= BROADCAST_ROW_LIMIT
