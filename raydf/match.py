@@ -292,6 +292,17 @@ def find_bindings(items: list, *, num_partitions: int = 32):
                     # native@32 45 s, partitioned_merge_join@64 48 s — keep
                     # partitions LOW; the join's fixed cost per partition
                     # dwarfs the parallelism gain on this workload.
+                    # Chained-join caveat (Ray 2.49): a native join's empty
+                    # hash partitions emit schema-less blocks that crash a
+                    # DOWNSTREAM native join. Here a second native join only
+                    # chains when the intermediate exceeds
+                    # BROADCAST_BINDINGS_LIMIT (500k rows — smaller ones go
+                    # to_pandas + broadcast), so every partition of the
+                    # 3+-pattern chain carries real rows; tiny intermediates
+                    # never reach this branch. See
+                    # joins.partitioned_lookup_join for the safe shape used
+                    # where small chained joins are structural (remap,
+                    # decode, jaccard verify).
                     # Also scale partitions DOWN with the CPU budget: the
                     # join's aggregator actors reserve 0.125 CPU each, and
                     # 16 partitions' worth (2 CPUs) deadlocks a 4-CPU

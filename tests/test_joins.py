@@ -144,3 +144,36 @@ def IntC(i: int):
             return int(self.lexical.removeprefix("int:"))
 
     return _IntConst(kind=0, lexical=f"int:{i}", datatype=None)
+
+
+def test_partitioned_lookup_join_inner_and_left(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydf.joins import partitioned_lookup_join
+
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array([1, 2, 9], pa.int64()),
+                  "x": pa.array([10, 20, 90], pa.int64())})
+    )
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["t1", "t2", "t3"])})
+    )
+    inner = (
+        partitioned_lookup_join(pairs, "a", docs, "doc_id", "text", "ta",
+                                num_partitions=5)
+        .to_pandas().sort_values("a").reset_index(drop=True)
+    )
+    assert inner["a"].tolist() == [1, 2]          # 9 has no lookup row
+    assert inner["ta"].tolist() == ["t1", "t2"]
+    assert inner["x"].dtype == np.int64           # no float64 degradation
+    left = (
+        partitioned_lookup_join(pairs, "a", docs, "doc_id", "text", "ta",
+                                how="left", num_partitions=5)
+        .to_pandas().sort_values("a").reset_index(drop=True)
+    )
+    assert left["a"].tolist() == [1, 2, 9]
+    assert left["ta"].tolist()[:2] == ["t1", "t2"] and pd.isna(left["ta"][2])
