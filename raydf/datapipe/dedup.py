@@ -258,10 +258,14 @@ def jaccard_verify_joined(pairs_ds, docs_ds, *, k=5, threshold=0.8,
     second and crash intermittently (Ray 2.49)."""
     from raydf.joins import partitioned_lookup_join
 
+    # materialize between steps: pairs are few (the premise of LSH), and
+    # partitioned_lookup_join's schema fetch would otherwise EXECUTE the
+    # lazy candidate pipeline once for the schema and again for the union
+    # — measured 4x candidate generation across the two lookups
     j = partitioned_lookup_join(
-        pairs_ds, "a", docs_ds, id_col, text_col, "text_a",
+        pairs_ds.materialize(), "a", docs_ds, id_col, text_col, "text_a",
         num_partitions=num_partitions,
-    )
+    ).materialize()
     j = partitioned_lookup_join(
         j, "b", docs_ds, id_col, text_col, "text_b",
         num_partitions=num_partitions,
