@@ -555,34 +555,62 @@ class FixpointEngine:
             return len(rule.hypothesis) > 1
         return False
 
-    # Store slices at or below this many rows are pulled into the object
-    # store ONCE per round and scanned in memory. Every pattern scan of a
-    # ParquetSource re-reads the checkpoint files, and rounds accumulate
-    # `buckets` new files each — measured at sf0.01 the LAST (empty-Δ)
-    # round cost 22.5 s, ~all of it re-scanning a 4k-row store dozens of
-    # times (patterns × decompositions × rules). Above the limit the
-    # file-backed path with row-group pushdown is the right scale
-    # behavior. 250k (not 2M): an A/B at 1M synthetic files showed
-    # materializing 1-2M-row deltas LOSES to filtered file re-reads
-    # (352 s vs 300 s end-to-end) — constant pushdown into row groups
-    # beats in-memory full scans once slices stop being trivially small.
+    # Store slices are pulled into the object store ONCE per round and
+    # scanned in memory whenever they fit a bounded budget. Every pattern
+    # scan of a ParquetSource re-reads the checkpoint files, and rounds
+    # accumulate `buckets` new files each — measured at sf0.01 the LAST
+    # (empty-Δ) round cost 22.5 s, ~all of it re-scanning a 4k-row store
+    # dozens of times (patterns × decompositions × rules). The budget has
+    # two arms:
+    #   * rows ≤ RESIDENT_STORE_ROWS — trivially small, always resident;
+    #   * 3 × on-disk bytes ≤ RESIDENT_BYTES_FRACTION of the cluster
+    #     object store (3x ≈ Arrow decode expansion) — measured wins:
+    #     500k files 306 s → 240 s, 1M files 279 s → 207 s end-to-end
+    #     (evening host, back-to-back). The 12M-file store (~8.7 GB on
+    #     disk) exceeds the default budget and keeps the file-backed
+    #     path the recorded scaling evidence measured.
+    # RAYDF_RESIDENT_ROWS=0 disables BOTH arms (the pure distributed
+    # path; regression-tested equivalence).
     RESIDENT_STORE_ROWS = 250_000
+    RESIDENT_BYTES_FRACTION = 0.15
 
     def _resident_rows(self) -> int:
         return int(
             os.environ.get("RAYDF_RESIDENT_ROWS", str(self.RESIDENT_STORE_ROWS))
         )
 
+    def _resident_budget_bytes(self) -> float:
+        frac = float(
+            os.environ.get(
+                "RAYDF_RESIDENT_BYTES_FRACTION", str(self.RESIDENT_BYTES_FRACTION)
+            )
+        )
+        try:
+            import ray
+
+            if ray.is_initialized():
+                return frac * float(
+                    ray.cluster_resources().get("object_store_memory", 0.0)
+                )
+        except Exception:
+            pass
+        return 0.0
+
     def _round_source(self, lo=None, hi=None):
         """File-backed source for a round slice, or a memory-resident one
-        when the slice is small (one read job per round, not one per
-        pattern scan)."""
+        when the slice fits the resident budget (one read job per round,
+        not one per pattern scan)."""
         files = self.triple_files(lo=lo, hi=hi)
         if not files:
             return EmptySource()
         ps = ParquetSource(files)
         ub = ps.upper_bound() or 0
-        if ub <= self._resident_rows():
+        limit = self._resident_rows()
+        resident = bool(limit) and ub <= limit
+        if not resident and limit:
+            disk = sum(os.path.getsize(f) for f in files)
+            resident = 3 * disk <= self._resident_budget_bytes()
+        if resident:
             ds = rd.read_parquet(
                 files, columns=["subj", "pred", "obj", "sign", "graph"]
             ).materialize()
