@@ -21,8 +21,7 @@ N_TERMS = 5  # tiny universe → plenty of matches and repeated values
 
 
 def _store(rows):
-    df = pd.DataFrame(rows, columns=["subj", "pred", "obj", "sign"])
-    df["graph"] = 0
+    df = pd.DataFrame(rows, columns=["subj", "pred", "obj", "sign", "graph"])
     return df.astype(
         {"subj": np.int64, "pred": np.int64, "obj": np.int64, "sign": bool,
          "graph": np.int64}
@@ -38,12 +37,15 @@ def _brute_force(patterns, rows, n_vars):
             subs.add(tuple(binding.get(v) for v in range(n_vars)))
             return
         sp = patterns[i]
-        for (s, p, o, sign) in rows:
+        for (s, p, o, sign, g) in rows:
             if sign != sp.sign:
                 continue
             b = dict(binding)
             ok = True
-            for term, val in ((sp.pattern.s, s), (sp.pattern.p, p), (sp.pattern.o, o)):
+            pos = [(sp.pattern.s, s), (sp.pattern.p, p), (sp.pattern.o, o)]
+            if sp.pattern.g is not None:
+                pos.append((sp.pattern.g, g))
+            for term, val in pos:
                 if isinstance(term, R.Var):
                     if b.get(term.idx, val) != val:
                         ok = False
@@ -62,10 +64,12 @@ def _brute_force(patterns, rows, n_vars):
 triple_st = st.tuples(
     st.integers(0, N_TERMS - 1), st.integers(0, N_TERMS - 1),
     st.integers(0, N_TERMS - 1), st.booleans(),
+    st.integers(0, 1),  # graph id (quads)
 )
 pattern_st = st.tuples(
     st.integers(0, 2 * N_TERMS - 1), st.integers(0, 2 * N_TERMS - 1),
     st.integers(0, 2 * N_TERMS - 1), st.booleans(),
+    st.integers(0, 2 * N_TERMS),  # graph slot: 2*N_TERMS = plain triple pattern
 )
 
 
@@ -91,11 +95,12 @@ def test_cascade_matches_bruteforce(rows, pats):
             return self._i
 
     patterns = []
-    for (s, p, o, sign) in pats:
+    for (s, p, o, sign, g) in pats:
         def t(code):
             return R.v(code) if code < n_vars else Raw(code)
 
-        patterns.append(R.pat(t(s), t(p), t(o), sign=sign))
+        gterm = None if g == 2 * N_TERMS else t(g)
+        patterns.append(R.pat(t(s), t(p), t(o), sign=sign, g=gterm))
 
     got_df = find_bindings_df([(sp, _store(rows), 0) for sp in patterns])
     used = sorted(set().union(*(sp.pattern.vars for sp in patterns)))
