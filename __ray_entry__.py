@@ -1644,11 +1644,14 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, n_tokens,
-                   shard * 4294967296 +
+                   -- CAST: the windowed SUM yields HUGEINT -> float64 in
+                   -- pandas, which breaks the driver's dtype-sensitive hash
+                   -- even though every value is integral (VERDICT r02).
+                   CAST(shard * 4294967296 +
                    (SUM(n_tokens) OVER (
                         PARTITION BY shard ORDER BY doc_id
                         ROWS UNBOUNDED PRECEDING
-                    ) - n_tokens) // 512 AS chunk_id
+                    ) - n_tokens) // 512 AS BIGINT) AS chunk_id
             FROM t
         """,
         "minhash_dedup_docs": _minhash_oracle_sql(),

@@ -81,11 +81,13 @@ def canonical_mapping_driver(pairs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"node": nodes[mask], "canon": canon[mask]})
 
 
-def canonical_mapping_distributed(
+def canonical_mapping_distributed_ds(
     edges_ds, *, max_iters: int = 20, num_partitions: int = 8
-) -> pd.DataFrame:
+):
     """Min-label propagation + pointer jumping over Eq edges as Ray Data
-    groupby/join rounds.
+    groupby/join rounds. Returns the (node, canon) mapping as a DATASET —
+    nothing ever lands on the driver, so downstream consumers (anti-join
+    survivor filters, distributed remaps) can stay distributed end-to-end.
 
     Per round: labels(v) ← min(labels(v), min over neighbours' labels,
     labels(labels(v))) — the pointer-jumping term halves chain lengths, so
@@ -199,8 +201,32 @@ def canonical_mapping_distributed(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    df = labels.to_pandas()
-    return df[df["node"] != df["lbl"]].rename(columns={"lbl": "canon"})[["node", "canon"]]
+
+    def _finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        node = t["node"].cast(pa.int64())
+        lbl = t["lbl"].cast(pa.int64())
+        mask = pc.not_equal(node, lbl)
+        return pa.table(
+            {"node": node.filter(mask), "canon": lbl.filter(mask)}
+        )
+
+    return labels.map_batches(_finish, batch_format="pyarrow")
+
+
+def canonical_mapping_distributed(
+    edges_ds, *, max_iters: int = 20, num_partitions: int = 8
+) -> pd.DataFrame:
+    """Driver-frame wrapper over :func:`canonical_mapping_distributed_ds`
+    (the mapping itself is ≪ the edge set — only merged nodes appear)."""
+    ds = canonical_mapping_distributed_ds(
+        edges_ds, max_iters=max_iters, num_partitions=num_partitions
+    )
+    df = ds.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"node": [], "canon": []}).astype(np.int64)
+    return df.reset_index(drop=True)
 
 
 def canonical_mapping(eq_ds_or_df) -> pd.DataFrame:

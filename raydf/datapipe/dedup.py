@@ -280,13 +280,19 @@ def minhash_dedup(docs_ds, *, k=5, num_hashes=64, bands=16,
     """Full near-dedup: LSH candidates → joined Jaccard verify → connected
     components → survivors + cluster mapping.
 
-    Returns ``(survivors_ds, mapping)``: survivors is a LAZY Dataset (docs
-    anti-joined against the dropped-id set); mapping is the driver-resident
-    (node → canonical) frame — driver-resident by design, it is broadcast
-    into the anti-join, and verified near-dup pairs are orders of magnitude
-    fewer than documents. No ``.to_pandas()`` of the corpus anywhere."""
-    from raydf.canonicalize import canonical_mapping
-    from raydf.joins import broadcast_semi_filter
+    Returns ``(survivors_ds, mapping)``: survivors is a LAZY Dataset.
+    ``mapping`` (node → canonical) is a driver pandas frame while the
+    verified pair set fits ``canonicalize.DRIVER_PAIR_LIMIT`` (the common
+    case — LSH-verified near-dup pairs ≪ documents), and a DATASET past
+    it: at web-corpus dup rates (30-50%) pairs ≈ docs, so the finalize
+    must not assume the pair set fits the driver. In the distributed
+    branch components come from min-label propagation
+    (:func:`canonical_mapping_distributed_ds`) and survivors from a
+    partitioned anti-join (:func:`raydf.relops.anti_join_keys`) — no
+    ``to_pandas()`` / broadcast of anything pair- or corpus-sized."""
+    from raydf import canonicalize
+    from raydf.joins import BROADCAST_ROW_LIMIT, broadcast_semi_filter
+    from raydf.relops import anti_join_keys
 
     pairs = minhash_candidate_pairs(
         docs_ds, k=k, num_hashes=num_hashes, bands=bands, concurrency=concurrency,
@@ -295,13 +301,37 @@ def minhash_dedup(docs_ds, *, k=5, num_hashes=64, bands=16,
     verified = jaccard_verify_joined(
         pairs, docs_ds, k=k, threshold=threshold, num_partitions=num_partitions
     )
-    # pairs (not documents) land on the driver: union-find input
-    mapping = canonical_mapping(verified.select_columns(["a", "b"]).to_pandas())
-    if len(mapping) == 0:
-        return docs_ds, mapping
-    dropped = mapping[["node"]].rename(columns={"node": "doc_id"})
-    survivors = broadcast_semi_filter(docs_ds, dropped, on=["doc_id"], anti=True)
-    return survivors, mapping
+    # materialize ONCE: the count() gate and the downstream consumer would
+    # otherwise each re-execute the whole candidate+verify pipeline
+    verified_pairs = verified.select_columns(["a", "b"]).materialize()
+    n_pairs = verified_pairs.count()
+    if n_pairs <= canonicalize.DRIVER_PAIR_LIMIT:
+        mapping = canonicalize.canonical_mapping_driver(verified_pairs.to_pandas())
+        if len(mapping) == 0:
+            return docs_ds, mapping
+        dropped = mapping[["node"]].rename(columns={"node": "doc_id"})
+        if len(dropped) <= BROADCAST_ROW_LIMIT:
+            survivors = broadcast_semi_filter(docs_ds, dropped, on=["doc_id"], anti=True)
+        else:
+            import ray.data as rd
+
+            survivors = anti_join_keys(
+                docs_ds, rd.from_pandas(dropped), ["doc_id"],
+                num_partitions=num_partitions,
+            )
+        return survivors, mapping
+    mapping_ds = canonicalize.canonical_mapping_distributed_ds(verified_pairs)
+    # rename via an explicit arrow map, not Dataset.rename_columns: the lazy
+    # schema fetch downstream (anti_join_keys' tagged union) observed the
+    # PRE-rename name in schema() while blocks carried the renamed column
+    # (Ray 2.49) — KeyError at run time
+    dropped_ds = mapping_ds.map_batches(
+        lambda t: pa.table({"doc_id": t["node"]}), batch_format="pyarrow"
+    )
+    survivors = anti_join_keys(
+        docs_ds, dropped_ds, ["doc_id"], num_partitions=num_partitions
+    )
+    return survivors, mapping_ds
 
 
 # ---------------------------------------------------------------- simhash
