@@ -178,8 +178,12 @@ def _q_top_orders(sf_dir: str):
     ).map_batches(
         lambda df: df.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
     )
+    from raydf.relops import global_topk
+
     joined = broadcast_join(orders, cust, on=["c_custkey"])
-    top = joined.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    # per-block top-k combiner + driver merge of the k-row partials —
+    # no full-shuffle global sort for a 10-row answer
+    top = global_topk(joined, "o_totalprice", 10, tie_cols=["o_orderkey"])
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -847,6 +851,70 @@ def _ann_ivf_topk(sf_dir: str):
     )
 
 
+def _ann_ivf_recall(sf_dir: str):
+    """Hash-checked IVF recall on a planted fixture: 5 exact copies of each
+    query vector are added to the corpus, so the true cosine top-6 per
+    query is exactly {query, its 5 copies} (all other pairwise cosines are
+    ≤0.51 in this fixture). The Ray side emits recall@6 of
+    ivf_search(nprobe=4 of 16) vs in-Ray brute force; the oracle emits the
+    planted-set recall of ITS brute-force top-6 — both equal 1e6 iff the
+    pruned index path truly retrieves the planted neighbors (identical
+    vectors share the query's centroid, which nprobe≥1 always probes)."""
+    import pyarrow.compute as pc
+
+    from raydf.datapipe.ann import cosine_topk, ivf_index, ivf_search
+
+    qids = [0, 7, 13]
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qset = pa.array(qids, pa.int64())
+    qdf = (
+        emb.map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qset)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index("vec_id")
+    )
+
+    def planted(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.is_in(t["vec_id"], value_set=qset))
+        tabs = [
+            pa.table(
+                {
+                    "vec_id": pc.add(
+                        pc.multiply(keep["vec_id"], 100), 2_000_000 + c
+                    ),
+                    "embedding": keep["embedding"],
+                }
+            )
+            for c in range(5)
+        ]
+        return pa.concat_tables(tabs)
+
+    # materialize: 3 IVF probes + 3 brute-force scans reuse the augmented
+    # corpus and index instead of re-executing the union 6 times
+    aug = emb.union(emb.map_batches(planted, batch_format="pyarrow")).materialize()
+    dim = len(qdf["embedding"].iloc[0])
+    indexed, cents = ivf_index(aug, dim, n_centroids=16)
+    indexed = indexed.materialize()
+    out_q, out_r = [], []
+    for qid in qids:
+        q = np.asarray(qdf.loc[qid, "embedding"], np.float32)
+        ivf = ivf_search(indexed, q, cents, k=6, nprobe=4)
+        bf = cosine_topk(aug, q, k=6)
+        inter = set(ivf["vec_id"].astype(np.int64)) & set(
+            bf["vec_id"].astype(np.int64)
+        )
+        out_q.append(qid)
+        out_r.append(len(inter) * 1_000_000 // 6)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "recall_e6": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
 def _ann_ivf_full_probe(sf_dir: str):
     """SQL-checked IVF plumbing: probing ALL buckets (nprobe == n_centroids)
     makes index→probe→rerank exactly brute-force top-k, so the DuckDB
@@ -1117,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _doc_fingerprint,
         "ann_topk": _ann_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_ivf_recall": _ann_ivf_recall,
         "ann_ivf_full_probe": _ann_ivf_full_probe,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "minhash_dedup_docs": _minhash_dedup_docs,
@@ -1496,6 +1565,35 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC
             LIMIT 5
+        """,
+        "ann_ivf_recall": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT q.vec_id * 100 + 2000000 + c.c AS vec_id, q.embedding
+                FROM embeddings q,
+                     (SELECT unnest(generate_series(0, 4)) AS c) c
+                WHERE q.vec_id IN (0, 7, 13)
+            ), qs AS (
+                SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                WHERE vec_id IN (0, 7, 13)
+            ), ranked AS (
+                SELECT qs.qid, aug.vec_id,
+                       row_number() OVER (
+                           PARTITION BY qs.qid
+                           ORDER BY list_cosine_similarity(aug.embedding, qs.qe)
+                                    DESC, aug.vec_id
+                       ) AS rn
+                FROM aug, qs
+            )
+            SELECT qid AS query_id,
+                   CAST(SUM(CASE WHEN vec_id = qid
+                                   OR (vec_id >= 2000000
+                                       AND (vec_id - 2000000) // 100 = qid)
+                                 THEN 1 ELSE 0 END) * 1000000 // 6
+                        AS BIGINT) AS recall_e6
+            FROM ranked WHERE rn <= 6
+            GROUP BY qid
         """,
         "embedding_neardup": """
             WITH aug AS (

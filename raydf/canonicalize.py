@@ -381,11 +381,11 @@ def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj",
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from raydf.joins import default_partitions
+    from raydf.joins import arrow_schema, default_partitions
 
     P = num_partitions if num_partitions is not None else default_partitions()
 
-    schema = triples_ds.schema().base_schema
+    schema = arrow_schema(triples_ds)
     list_cols = [
         f.name for f in schema
         if pa.types.is_large_list(f.type) or pa.types.is_list(f.type)

@@ -29,6 +29,7 @@ process constants embedded into the oracle SQL as literals.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -91,8 +92,14 @@ def exact_dedup(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
 # ------------------------------------------------------------- minhash-lsh
 
 
+# ASCII whitespace, matching the SQL oracle's RE2 '\s+' — Python's bare
+# str.split() is Unicode-aware (NBSP etc.) and would silently diverge from
+# any RE2-based reimplementation on non-ASCII corpora (ADVICE r02)
+_WS_RE = re.compile(r"\s+", re.ASCII)
+
+
 def _shingles(text: str, k: int) -> set:
-    t = " ".join(text.lower().split())
+    t = _WS_RE.sub(" ", text.lower()).strip()
     if len(t) < k:
         return {t}
     return {t[i : i + k] for i in range(len(t) - k + 1)}
@@ -343,7 +350,7 @@ class SimHasher:
     def __init__(self):
         import re
 
-        self.tok = re.compile(r"\w+")
+        self.tok = re.compile(r"\w+", re.ASCII)
 
     def simhash(self, text: str) -> int:
         toks = self.tok.findall(text.lower())

@@ -1,21 +1,38 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool stages.
 
-The decode kernels themselves are STUBS — the image/audio codec libraries
-are not in this container — but the Ray-side plumbing is real and tested:
-schemas, small-batch actor-pool stages (large binary payloads → small
-``batch_size`` so batch × concurrency fits worker heaps), deterministic
-fake feature extraction standing in for a model, and the output layout.
-Swap ``_decode_stub`` for a real decoder (PIL/torchaudio/pyav) to go live.
+Decoding is feature-probed: ``decode_payload`` uses PIL for real image
+mime types when the library is importable (probe at import time — actor
+``__init__``s inherit it), and falls back to a loud ``NotImplementedError``
+when the codec is genuinely absent (this container ships no codec libs;
+audio/video still need torchaudio/pyav). Fake ``*/x-fake`` payloads decode
+deterministically so the plumbing — schemas, small-batch actor-pool stages
+(large binary payloads → small ``batch_size`` so batch × concurrency fits
+worker heaps), error routing, output layout — is testable everywhere.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+
+def _codec_probe():
+    """Import-time feature probe: PIL if installed, else None (the stub
+    branch). Probed once; actors inherit the module-level result."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+_PIL = _codec_probe()
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -48,18 +65,30 @@ def synthetic_media_table(n: int, *, kind: str = "image") -> pa.Table:
     )
 
 
-def _decode_stub(payload: bytes, mime: str) -> np.ndarray:
-    """STUB decoder. Real codecs are not installed in this container.
+def decode_payload(payload: bytes, mime: str) -> np.ndarray:
+    """Decode a media payload to a 2-D uint8 pixel array.
 
-    Raises NotImplementedError for real mime types; fake payloads decode
-    to a deterministic pseudo-pixel array so the pipeline is testable."""
-    if not mime.endswith("/x-fake"):
-        raise NotImplementedError(
-            f"no codec for {mime}: install PIL/torchaudio/pyav and replace _decode_stub"
-        )
-    raw = np.frombuffer(payload, dtype=np.uint8)
-    side = int(np.sqrt(len(raw)))
-    return raw[: side * side].reshape(side, side)
+    * ``*/x-fake`` — deterministic pseudo-pixels (hash-derived bytes), the
+      always-available plumbing-test path.
+    * ``image/*`` — real decode via PIL (grayscale), when the import-time
+      probe found it.
+    * anything else (or image/* without PIL) — NotImplementedError, routed
+      to ``decode_error`` rows by the featurizer rather than crashing the
+      stage."""
+    if mime.endswith("/x-fake"):
+        raw = np.frombuffer(payload, dtype=np.uint8)
+        side = int(np.sqrt(len(raw)))
+        return raw[: side * side].reshape(side, side)
+    if mime.startswith("image/") and _PIL is not None:
+        img = _PIL.open(io.BytesIO(payload))
+        return np.asarray(img.convert("L"), dtype=np.uint8)
+    raise NotImplementedError(
+        f"no codec for {mime}: install PIL (images) / torchaudio / pyav"
+    )
+
+
+# back-compat alias (pre-probe name); the probe supersedes the pure stub
+_decode_stub = decode_payload
 
 
 class MediaFeaturizer:
@@ -77,17 +106,18 @@ class MediaFeaturizer:
             batch["payload"].to_pylist(), batch["mime"].to_pylist()
         ):
             try:
-                px = _decode_stub(payload, mime)
+                px = decode_payload(payload, mime)
                 hist, _ = np.histogram(px, bins=self.dim, range=(0, 255))
                 v = hist.astype(np.float32)
                 v /= np.linalg.norm(v) or 1.0
                 feats.append(v.tolist())
                 ok.append(True)
                 err.append(None)
-            except NotImplementedError as e:
+            except Exception as e:  # absent codec OR corrupt payload —
+                # either way: an error ROW, never a crashed stage
                 feats.append([0.0] * self.dim)
                 ok.append(False)
-                err.append(str(e))
+                err.append(str(e) or type(e).__name__)
         out = batch.select(["media_id", "kind"])
         out = out.append_column(
             "features", pa.array(feats, pa.list_(pa.float32(), self.dim))
@@ -117,7 +147,7 @@ class MediaHistogrammer:
             batch["payload"].to_pylist(),
             batch["mime"].to_pylist(),
         ):
-            px = _decode_stub(payload, mime)
+            px = decode_payload(payload, mime)
             hist, _ = np.histogram(px, bins=self.bins, range=(0, 255))
             mids.append(np.full(self.bins, mid, np.int64))
             bin_idx.append(all_bins)
@@ -142,7 +172,7 @@ class ImageResizer:
         for payload, mime in zip(
             batch["payload"].to_pylist(), batch["mime"].to_pylist()
         ):
-            px = _decode_stub(payload, mime)
+            px = decode_payload(payload, mime)
             idx = (np.linspace(0, px.shape[0] - 1, self.size)).astype(int)
             outs.append(px[np.ix_(idx, idx)].tobytes())
         out = batch.select(["media_id"])

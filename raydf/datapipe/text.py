@@ -22,13 +22,17 @@ _LANG_MARKERS = {
 
 
 class LangId:
-    """Actor-pool language identifier.
+    """Actor-pool language identifier with a pluggable model.
 
-    Heuristic: CJK codepoint ratio → zh; else argmax of stop-word marker
-    hit counts; ties/no-hits → unknown. Deterministic; markers compiled
-    once per actor."""
+    ``model_loader`` (a picklable zero-arg callable) loads a real
+    classifier ONCE per actor in ``__init__`` — anything exposing
+    ``predict(list[str]) -> list[str]`` (a fasttext wrapper, an onnx
+    session…) plugs in with no kernel change. Without one, the built-in
+    deterministic heuristic runs: CJK codepoint ratio → zh; else argmax of
+    stop-word marker hit counts; ties/no-hits → unknown."""
 
-    def __init__(self):
+    def __init__(self, model_loader=None):
+        self.model = model_loader() if model_loader is not None else None
         self.markers = {
             lang: re.compile("|".join(re.escape(m) for m in ms))
             for lang, ms in _LANG_MARKERS.items()
@@ -36,6 +40,11 @@ class LangId:
         self.cjk = re.compile(r"[一-鿿]")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.model is not None:
+            pred_list = list(self.model.predict(batch["text"].to_pylist()))
+            return batch.append_column(
+                "lang_pred", pa.array(pred_list, pa.string())
+            )
         texts = pd.Series(batch["text"].to_pylist())
         padded = " " + texts.str.lower() + " "
         counts = {
@@ -48,7 +57,9 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
 
 
-_WORD_RE = r"\w+"
+# (?a): ASCII \w/\d/\s — matches RE2 semantics (DuckDB oracles) on
+# non-ASCII corpora; Python default \w is Unicode-aware (ADVICE r02)
+_WORD_RE = r"(?a)\w+"
 _SENT_RE = r"[.!?]+"
 
 
@@ -74,7 +85,7 @@ _STOPWORDS = frozenset(
 )
 # \b-anchored alternation counts exactly the findall(\w+) tokens that are
 # stopwords (boundaries reject partial-token matches like 'the' in 'other')
-_STOP_RE = r"\b(?:" + "|".join(sorted(_STOPWORDS)) + r")\b"
+_STOP_RE = r"(?a)\b(?:" + "|".join(sorted(_STOPWORDS)) + r")\b"
 
 
 def quality_score(batch: pa.Table) -> pa.Table:
@@ -87,10 +98,10 @@ def quality_score(batch: pa.Table) -> pa.Table:
     n_chars = texts.str.len().clip(lower=1)
     n_words = texts.str.count(_WORD_RE).clip(lower=1)
     stop_ratio = lower.str.count(_STOP_RE) / n_words
-    punct_ratio = texts.str.count(r"[^\w\s]") / n_chars
-    digit_ratio = texts.str.count(r"\d") / n_chars
+    punct_ratio = texts.str.count(r"(?a)[^\w\s]") / n_chars
+    digit_ratio = texts.str.count(r"(?a)\d") / n_chars
     upper_ratio = texts.str.count(r"[A-Z]") / n_chars
-    mean_word_len = (texts.str.count(r"\w") / n_words).where(
+    mean_word_len = (texts.str.count(r"(?a)\w") / n_words).where(
         texts.str.count(_WORD_RE) > 0, 0.0
     )
     score = (
@@ -112,7 +123,7 @@ def quality_score(batch: pa.Table) -> pa.Table:
     return out
 
 
-_WORDS_RE = r"\w+"
+_WORDS_RE = r"(?a)\w+"
 
 
 def repetition_scores(batch: pa.Table) -> pa.Table:

@@ -24,6 +24,21 @@ import ray
 BROADCAST_ROW_LIMIT = 2_000_000  # above this, broadcasting a side is a smell
 
 
+def arrow_schema(ds) -> "pa.Schema":
+    """``ds.schema()`` as a real ``pa.Schema`` regardless of block type:
+    datasets built from pandas blocks report a PandasBlockSchema (names +
+    numpy dtypes, no ``.field``), which crashed every helper that assumed
+    arrow schemas."""
+    import pyarrow as pa
+
+    s = ds.schema().base_schema
+    if isinstance(s, pa.Schema):
+        return s
+    return pa.schema(
+        [pa.field(n, pa.from_numpy_dtype(t)) for n, t in zip(s.names, s.types)]
+    )
+
+
 def default_partitions(floor: int = 32) -> int:
     """Partition count for coarse hash-partitioned group maps: scales with
     the cluster CPU count (each partition is ONE in-memory pandas frame per
@@ -209,8 +224,8 @@ def partitioned_lookup_join(ds, key_col: str, lookup_ds, lookup_key: str,
     import pyarrow.compute as pc
 
     P = num_partitions if num_partitions is not None else default_partitions()
-    schema = ds.schema().base_schema
-    lschema = lookup_ds.schema().base_schema
+    schema = arrow_schema(ds)
+    lschema = arrow_schema(lookup_ds)
     val_type = lschema.field(lookup_val).type
     fields = list(schema)
 
@@ -251,11 +266,16 @@ def partitioned_lookup_join(ds, key_col: str, lookup_ds, lookup_key: str,
             .rename(columns={"__lk": key_col, "__lv": new_col})
         )
         out = l.drop(columns="__lv").merge(r, on=key_col, how=how)
-        if how == "inner" and len(out) == 0:
-            out = out  # keep empty frame with full schema
-        return pa.Table.from_pandas(out, preserve_index=False).cast(
-            pa.schema(fields + [pa.field(new_col, val_type)])
-        )
+        # build the looked-up column as a NULLABLE arrow array: a left
+        # join's misses surface as NaN, which pandas stores as float64 —
+        # a plain .cast() to an integer val_type would raise ArrowInvalid
+        # ("Float value nan was truncated"); from_pandas maps NaN → null
+        # and integral floats back to the lookup's true dtype
+        vals = pa.Array.from_pandas(out[new_col], type=val_type)
+        base = pa.Table.from_pandas(
+            out.drop(columns=[new_col]), preserve_index=False
+        ).cast(pa.schema(fields))
+        return base.append_column(pa.field(new_col, val_type), vals)
 
     return u.groupby("__p").map_groups(merge, batch_format="pyarrow")
 

@@ -29,6 +29,7 @@ import ray.data as rd
 
 from raydf import joins
 from raydf import rules as R
+from raydf import terms
 from raydf.canonicalize import canonical_mapping, remap_terms, remap_triples
 from raydf.deduce import FixpointEngine
 from raydf.extract import (
@@ -112,6 +113,41 @@ def _mark_done(d: str) -> None:
         f.write("ok")
 
 
+# Checkpoint format version: bump whenever on-disk ids/layout change
+# incompatibly (v2 = md5-low64 term ids — v1 workdirs carried blake2b ids,
+# and resuming one mid-pipeline would silently mix id schemes).
+FORMAT_VERSION = f"2:{terms.HASH_SCHEME}"
+
+
+def _check_workdir_format(workdir: str) -> None:
+    """Stamp new workdirs with FORMAT_VERSION; refuse to resume a workdir
+    written by an incompatible engine version (a silent resume would mix
+    term-id schemes across checkpointed and fresh stages — ADVICE r02)."""
+    marker = os.path.join(workdir, "_FORMAT")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            found = f.read().strip()
+        if found != FORMAT_VERSION:
+            raise RuntimeError(
+                f"workdir {workdir} was written by engine format {found!r}, "
+                f"this engine is {FORMAT_VERSION!r}: delete the workdir (or "
+                "point at a fresh one) instead of resuming across id schemes"
+            )
+        return
+    # legacy dirs (pre-marker) with completed stages are indistinguishable
+    # from v1: refuse those too rather than guess
+    if any(
+        os.path.exists(os.path.join(workdir, d, "_DONE"))
+        for d in ("extracted", "terms0")
+    ):
+        raise RuntimeError(
+            f"workdir {workdir} predates format stamping: delete it or "
+            "re-create it with this engine version before resuming"
+        )
+    with open(marker, "w") as f:
+        f.write(FORMAT_VERSION)
+
+
 def compose_mappings(total: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
     """total ∘ new — vectorized (sorted-key searchsorted, no Python-level
     per-row map: this runs on the driver over mappings that reach millions
@@ -148,6 +184,7 @@ def kg_pipeline(
     mention_concurrency: int | None = None,
 ) -> dict:
     os.makedirs(workdir, exist_ok=True)
+    _check_workdir_format(workdir)
     system = system or default_system()
     metrics: dict = {"stages": {}}
     t_all = time.time()

@@ -46,8 +46,10 @@ def _two_sided_partition_map(
 
     by = list(by)
     P = num_partitions if num_partitions is not None else default_partitions()
-    ls = left.schema().base_schema
-    rs = right.schema().base_schema
+    from raydf.joins import arrow_schema
+
+    ls = arrow_schema(left)
+    rs = arrow_schema(right)
     lcols, rcols = list(ls.names), list(rs.names)
     types = {n: rs.field(n).type for n in rcols}
     types.update({n: ls.field(n).type for n in lcols})
@@ -225,6 +227,36 @@ def topk_per_group(
 
     pre = ds.map_batches(local, batch_format="pandas")
     return partitioned_group_map(pre, keys, local, num_partitions=num_partitions)
+
+
+def global_topk(
+    ds,
+    order_col: str,
+    k: int,
+    *,
+    ascending: bool = False,
+    tie_cols: Sequence[str] = (),
+):
+    """Global top-k WITHOUT a global sort: each block keeps its local
+    top-k (only k rows per block ever leave a worker), then the driver
+    merges the k-row partials — ≤ k × blocks rows total, constant in the
+    input size. Same shape as ann.cosine_topk's reduce. ``tie_cols``
+    (ascending) break ``order_col`` ties deterministically."""
+    import ray.data as rd
+
+    sort_cols = [order_col] + list(tie_cols)
+    asc = [ascending] + [True] * len(tie_cols)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols, ascending=asc, kind="mergesort").head(k)
+
+    partials = ds.map_batches(local, batch_format="pandas").to_pandas()
+    merged = (
+        partials.sort_values(sort_cols, ascending=asc, kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return rd.from_pandas(merged)
 
 
 def quantile_per_group(

@@ -44,6 +44,10 @@ from raydf.schema import KIND_BLANK, KIND_IRI, KIND_LITERAL
 _SEP = b"\x1f"
 DIGEST_SIZE = 8
 
+# id-scheme tag stamped into checkpoint workdirs (pipeline.FORMAT_VERSION):
+# ids minted under a different scheme must never mix within one workdir
+HASH_SCHEME = "md5-low64"
+
 
 def _h64(data: bytes) -> int:
     """Low 8 md5 bytes, little-endian, signed — SQL-reproducible:

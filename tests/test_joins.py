@@ -177,3 +177,30 @@ def test_partitioned_lookup_join_inner_and_left(ray_session):
     )
     assert left["a"].tolist() == [1, 2, 9]
     assert left["ta"].tolist()[:2] == ["t1", "t2"] and pd.isna(left["ta"][2])
+
+
+def test_partitioned_lookup_join_left_int_values_nullable(ray_session):
+    """how='left' with an INTEGER lookup value: misses must surface as
+    nulls, not crash on the pandas NaN→float64 degradation (ADVICE r02)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raydf.joins import partitioned_lookup_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": np.arange(6, dtype=np.int64)}))
+    lookup = rd.from_pandas(
+        pd.DataFrame(
+            {"k": np.array([0, 2, 4], np.int64), "v": np.array([10, 20, 40], np.int64)}
+        )
+    )
+    out = (
+        partitioned_lookup_join(left, "k", lookup, "k", "v", "v", how="left")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 6
+    hits = out[out["k"] % 2 == 0]["v"].tolist()
+    assert hits == [10, 20, 40]
+    assert out[out["k"] % 2 == 1]["v"].isna().all()

@@ -132,3 +132,54 @@ def test_media_histogram_matches_numpy():
     np_bins = np.clip(np.searchsorted(np.linspace(0, 255, 65), v, side="right") - 1, 0, 63)
     sql_bins = np.minimum(v * 64 // 255, 63)
     assert (np_bins == sql_bins).all()
+
+
+def test_ascii_regex_semantics_match_duckdb_on_unicode():
+    """Kernels tokenize with (?a)/re.ASCII so Python \\w and \\s agree with
+    DuckDB's RE2 on NON-ASCII text (accents, NBSP, unicode spaces) —
+    previously a silent kernel/oracle divergence risk (ADVICE r02)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydf.datapipe.dedup import _shingles
+    from raydf.datapipe.text import token_stats
+
+    texts = [
+        "café touché résumé",          # accented words
+        "non breaking space here",               # NBSP
+        "ideographic　space and   em-space",      # unicode spaces
+        "plain ascii text",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    got = (
+        rd.from_arrow(pa.Table.from_pandas(df))
+        .map_batches(token_stats, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")["n_tokens"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = [
+        r[0]
+        for r in con.execute(
+            r"SELECT len(regexp_extract_all(text, '\w+')) FROM documents ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got == want
+
+    # shingle normalization: RE2 \s+ collapse == the kernel's ASCII _WS_RE
+    for t in texts:
+        sql_norm = con.execute(
+            r"SELECT trim(regexp_replace(lower(?), '\s+', ' ', 'g'))", [t]
+        ).fetchone()[0]
+        kernel_shingles = _shingles(t, 5)
+        want_shingles = (
+            {sql_norm}
+            if len(sql_norm) < 5
+            else {sql_norm[i : i + 5] for i in range(len(sql_norm) - 4)}
+        )
+        assert kernel_shingles == want_shingles

@@ -208,3 +208,30 @@ def test_decode_join_path_matches_broadcast(ray_session):
         via_bcast[["s_lex", "p_lex", "o_lex", "sign"]],
     )
     assert len(via_join) == 3
+
+
+def test_resume_refuses_mismatched_format(tmp_path):
+    """A workdir stamped by a different id scheme must refuse to resume
+    (silent resume would mix term-id schemes across stages — ADVICE r02)."""
+    import pytest
+
+    from raydf.pipeline import _check_workdir_format
+
+    d = tmp_path / "wd_v1"
+    d.mkdir()
+    (d / "_FORMAT").write_text("1:blake2b-low64")
+    with pytest.raises(RuntimeError, match="engine format"):
+        _check_workdir_format(str(d))
+
+    # unstamped dir with a completed stage = legacy → also refused
+    d2 = tmp_path / "wd_legacy"
+    (d2 / "extracted").mkdir(parents=True)
+    (d2 / "extracted" / "_DONE").write_text("ok")
+    with pytest.raises(RuntimeError, match="predates format stamping"):
+        _check_workdir_format(str(d2))
+
+    # fresh dir gets stamped and re-checks clean
+    d3 = tmp_path / "wd_fresh"
+    d3.mkdir()
+    _check_workdir_format(str(d3))
+    _check_workdir_format(str(d3))  # idempotent

@@ -131,3 +131,22 @@ def test_anti_join_keys(ray_session, events):
         big[big["user_id"].isin(absent)].sort_values("event_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_global_topk_matches_sort(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raydf.relops import global_topk
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"v": rng.randint(0, 50, 500), "id": np.arange(500)})
+    ds = rd.from_pandas(df).repartition(8)
+    got = global_topk(ds, "v", 10, tie_cols=["id"]).to_pandas()
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["v", "id"]], want[["v", "id"]])
