@@ -413,6 +413,9 @@ class FixpointEngine:
         os.makedirs(os.path.join(ckpt_dir, "eqs"), exist_ok=True)
         os.makedirs(os.path.join(ckpt_dir, "nes"), exist_ok=True)
         os.makedirs(os.path.join(ckpt_dir, "trues"), exist_ok=True)
+        # resident-store segment cache: files-tuple → (materialized ds, rows)
+        self._seg_cache: dict[tuple, tuple] = {}
+        self._seg_touched: set[tuple] = set()
 
     # ----------------------------------------------------------- layout
 
@@ -432,19 +435,40 @@ class FixpointEngine:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path())
 
-    def triple_files(self, *, lo: int | None = None, hi: int | None = None) -> list[str]:
-        """Parquet files of rounds lo..hi inclusive (completed rounds only)."""
+    def _round_segments(
+        self, *, lo: int | None = None, hi: int | None = None
+    ) -> list[tuple[int, tuple]]:
+        """Per-round (round, files) segments of completed rounds lo..hi —
+        the unit of the resident-store cache: every slice a round asks for
+        (full / Δ / old) is a concatenation of these, so materialized
+        segments are SHARED across the three slices and across rounds
+        instead of each slice re-reading overlapping prefixes (ADVICE
+        r02: combined resident memory approached 3× the budget and the
+        same prefix bytes re-decoded every round)."""
         done = {r["round"] for r in self.manifest()["rounds"]}
-        out = []
+        segs = []
         for r in sorted(done):
             if lo is not None and r < lo:
                 continue
             if hi is not None and r > hi:
                 continue
-            out.extend(
-                sorted(glob.glob(os.path.join(self.ckpt, "triples", f"round-{r}", "**", "*.parquet"), recursive=True))
+            fs = tuple(
+                sorted(
+                    glob.glob(
+                        os.path.join(
+                            self.ckpt, "triples", f"round-{r}", "**", "*.parquet"
+                        ),
+                        recursive=True,
+                    )
+                )
             )
-        return out
+            if fs:
+                segs.append((r, fs))
+        return segs
+
+    def triple_files(self, *, lo: int | None = None, hi: int | None = None) -> list[str]:
+        """Parquet files of rounds lo..hi inclusive (completed rounds only)."""
+        return [f for _, fs in self._round_segments(lo=lo, hi=hi) for f in fs]
 
     def dataset(self):
         """Logical triple view of the checkpoint — pruned to TRIPLES_SCHEMA
@@ -599,8 +623,15 @@ class FixpointEngine:
     def _round_source(self, lo=None, hi=None):
         """File-backed source for a round slice, or a memory-resident one
         when the slice fits the resident budget (one read job per round,
-        not one per pattern scan)."""
-        files = self.triple_files(lo=lo, hi=hi)
+        not one per pattern scan).
+
+        Resident slices are built from per-round materialized SEGMENTS
+        held in ``self._seg_cache``: round r's full (hi=r-1) extends round
+        r-1's by one newly-read segment, and Δ/old are views over the same
+        segments — each checkpoint file is read+decoded ONCE per engine
+        run and the three slices share memory instead of tripling it."""
+        segs = self._round_segments(lo=lo, hi=hi)
+        files = [f for _, fs in segs for f in fs]
         if not files:
             return EmptySource()
         ps = ParquetSource(files)
@@ -610,12 +641,24 @@ class FixpointEngine:
         if not resident and limit:
             disk = sum(os.path.getsize(f) for f in files)
             resident = 3 * disk <= self._resident_budget_bytes()
-        if resident:
-            ds = rd.read_parquet(
-                files, columns=["subj", "pred", "obj", "sign", "graph"]
-            ).materialize()
-            return DatasetSource(ds)
-        return ps
+        if not resident:
+            return ps
+        parts, total = [], 0
+        for _r, fs in segs:
+            ent = self._seg_cache.get(fs)
+            if ent is None:
+                ds = rd.read_parquet(
+                    list(fs), columns=["subj", "pred", "obj", "sign", "graph"]
+                ).materialize()
+                ent = (ds, ds.count())
+                self._seg_cache[fs] = ent
+            self._seg_touched.add(fs)
+            parts.append(ent[0])
+            total += ent[1]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)  # lazy: unions of materialized block refs
+        return DatasetSource(out, ub=total)
 
     def _driver_frames(self, full, delta, old):
         """(full_df, delta_df, old_df) for the in-process cascade, or None
@@ -652,9 +695,16 @@ class FixpointEngine:
 
     def run_round(self, round_no: int) -> dict:
         t0 = time.time()
+        self._seg_touched = set()
         full = self._round_source(hi=round_no - 1)
         delta = self._round_source(lo=round_no - 1, hi=round_no - 1)
         old = self._round_source(hi=round_no - 2)
+        # sweep segments this round didn't touch (e.g. old deltas once the
+        # growing store stops qualifying for residency) so cached blocks
+        # don't accumulate past the budget
+        for k in list(self._seg_cache):
+            if k not in self._seg_touched:
+                del self._seg_cache[k]
 
         cand_parts, eq_parts, ne_parts, true_parts, term_parts = [], [], [], [], []
         per_rule = {}

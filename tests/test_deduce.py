@@ -293,3 +293,50 @@ def test_distributed_cascade_matches_driver_fast_path(tmp_workdir, monkeypatch):
                match_attrs={"DRIVER_CASCADE_ROWS": 0})
     assert fast == slow
     assert len(fast) == 21  # closure of a 7-node chain
+
+
+def test_fused_pair_exchange_matches_cascade(tmp_workdir, monkeypatch):
+    """The fused 2-pattern semi-naive exchange must derive the exact same
+    closure as the per-decomposition join cascade. Zeroing the broadcast
+    limit (and the driver/resident fast paths) forces every big-Δ round
+    through fused_pair_bindings; the comparison run disables fusion."""
+    import os
+
+    import raydf.match as match_mod
+    from raydf.deduce import FixpointEngine
+
+    E = "https://example.org/#edge"
+    nodes = [R.iri(f"f{i}") for i in range(9)]
+    rows = [(nodes[i], R.iri(E), nodes[i + 1]) for i in range(8)]
+    # a second component plus a cross edge: exercises old/Δ interplay
+    m = [R.iri(f"g{i}") for i in range(4)]
+    rows += [(m[i], R.iri(E), m[i + 1]) for i in range(3)]
+    triples, _ = triples_from_terms(rows)
+    system = R.System()
+    system.insert(
+        R.rule(
+            3,
+            [R.pat(R.v(0), R.iri(E), R.v(1)), R.pat(R.v(1), R.iri(E), R.v(2))],
+            [R.triple_st(R.v(0), R.iri(E), R.v(2))],
+            name="trans",
+        )
+    )
+
+    def run(sub, fused: bool):
+        monkeypatch.setattr(match_mod, "DRIVER_CASCADE_ROWS", 0)
+        monkeypatch.setattr(FixpointEngine, "RESIDENT_STORE_ROWS", 0)
+        if fused:
+            monkeypatch.setattr(match_mod, "BROADCAST_BINDINGS_LIMIT", 0)
+            monkeypatch.setenv("RAYDF_FUSED_PAIR", "1")
+        else:
+            monkeypatch.setenv("RAYDF_FUSED_PAIR", "0")
+        eng = _run_engine(system, triples, os.path.join(tmp_workdir, sub))
+        out = eng.dataset().to_pandas()
+        monkeypatch.undo()
+        return {(s, p, o, g) for s, p, o, g in
+                zip(out["subj"], out["pred"], out["obj"], out["graph"])}
+
+    fused = run("fused", True)
+    cascade = run("cascade", False)
+    assert fused == cascade
+    assert len(fused) == 8 * 9 // 2 + 3 * 4 // 2  # closures of both chains
