@@ -53,6 +53,16 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+
+def _table_bytes(sf_dir: str, table: str, *, expansion: int = 4) -> int:
+    """Cheap uncompressed-size estimate for partition sizing: on-disk
+    parquet bytes x a decode-expansion factor (text columns ~4x)."""
+    try:
+        return os.path.getsize(os.path.join(sf_dir, f"{table}.parquet")) * expansion
+    except OSError:
+        return 0
+
+
 def _source_code_from_documents(sf_dir: str):
     """Derive the BASELINE.json input-shaped table (repo, path, commit,
     lang, content) deterministically from the documents table."""
@@ -783,7 +793,14 @@ def _minhash_dedup_docs(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     # survivors is a lazy Dataset: candidates/verify/anti-join all stream;
     # only doc_ids of the result are collected
-    survivors, _mapping = minhash_dedup(docs, threshold=0.8)
+    from raydf.joins import partitions_for_bytes
+
+    survivors, _mapping = minhash_dedup(
+        docs, threshold=0.8,
+        # text-carrying exchanges: partitions from input bytes, not CPU
+        # count alone (joins.partitions_for_bytes sizing rule)
+        num_partitions=partitions_for_bytes(_table_bytes(sf_dir, "documents")),
+    )
     ids = sorted(survivors.select_columns(["doc_id"]).to_pandas()["doc_id"].tolist())
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
@@ -998,7 +1015,14 @@ def _decontaminate_docs(sf_dir: str):
 
     train = docs.map_batches(side(False), batch_format="pyarrow")
     bench = docs.map_batches(side(True), batch_format="pyarrow")
-    return decontaminate(train, bench, n=3)
+    from raydf.joins import partitions_for_bytes
+
+    # the gram exchange ships every word n-gram as a string (~n x text
+    # bytes); size partitions from bytes so per-partition frames stay flat
+    return decontaminate(
+        train, bench, n=3,
+        num_partitions=partitions_for_bytes(_table_bytes(sf_dir, "documents", expansion=12)),
+    )
 
 
 def _pii_redact_docs(sf_dir: str):

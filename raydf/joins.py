@@ -52,6 +52,26 @@ def default_partitions(floor: int = 32) -> int:
     return floor
 
 
+PARTITION_TARGET_BYTES = 128 << 20  # ~128 MB of input per partition frame
+
+
+def partitions_for_bytes(est_bytes: int | None, *, floor: int | None = None) -> int:
+    """Partition count for text-carrying exchanges, from an input byte
+    estimate: the CPU-scaled default keeps cores busy on small inputs,
+    and the byte term caps each partition's in-memory pandas frame at
+    ~PARTITION_TARGET_BYTES — a CPU-only count lets per-task frames grow
+    linearly with corpus size (per-task OOM at web scale). Sizing rule
+    (documented in BASELINE.md): est = uncompressed input bytes the
+    exchange ships (for parquet text columns ≈ 4× on-disk bytes);
+    partitions = max(2×CPU, est / 128 MB)."""
+    base = floor if floor is not None else default_partitions()
+    if not est_bytes:
+        return base
+    import math
+
+    return max(base, math.ceil(est_bytes / PARTITION_TARGET_BYTES))
+
+
 def distinct(ds, cols: Sequence[str], *, pre_dedup: bool = True, num_partitions: int = 32):
     """Distinct rows by ``cols`` (keeps first row per key, arbitrary order).
 

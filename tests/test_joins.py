@@ -204,3 +204,13 @@ def test_partitioned_lookup_join_left_int_values_nullable(ray_session):
     hits = out[out["k"] % 2 == 0]["v"].tolist()
     assert hits == [10, 20, 40]
     assert out[out["k"] % 2 == 1]["v"].isna().all()
+
+
+def test_partitions_for_bytes_sizing_rule():
+    from raydf.joins import PARTITION_TARGET_BYTES, partitions_for_bytes
+
+    assert partitions_for_bytes(0, floor=16) == 16
+    assert partitions_for_bytes(None, floor=16) == 16
+    assert partitions_for_bytes(PARTITION_TARGET_BYTES * 100, floor=16) == 100
+    # small inputs keep the CPU-scaled floor
+    assert partitions_for_bytes(1024, floor=64) == 64
