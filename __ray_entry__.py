@@ -1641,17 +1641,27 @@ def oracle_sql() -> dict[str, str]:
                 len(regexp_extract_all(pad, ' der | die | und | das | ist | nicht ')) AS de,
                 len(regexp_extract_all(pad, ' le | la | les | de | et | est ')) AS fr,
                 len(regexp_extract_all(pad, ' el | la | los | de | que | es ')) AS es,
+                len(regexp_extract_all(pad, ' il | che | di | non | per | sono ')) AS it,
+                len(regexp_extract_all(pad, ' o | os | uma | com | para | mais ')) AS pt,
+                len(regexp_extract_all(pad, ' het | een | van | niet | zijn | op ')) AS nl,
                 CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS DOUBLE)
                   / GREATEST(n, 1) AS cjk
               FROM t
             )
+            -- the CASE ladder's order replicates pandas idxmax's first-max
+            -- tie-break over the kernel's dict insertion order
             SELECT doc_id,
               CASE WHEN cjk >= 0.05 THEN 'zh'
-                   WHEN GREATEST(en, de, fr, es) = 0 THEN 'unknown'
-                   WHEN en >= de AND en >= fr AND en >= es THEN 'en'
-                   WHEN de >= fr AND de >= es THEN 'de'
-                   WHEN fr >= es THEN 'fr'
-                   ELSE 'es' END AS lang_pred
+                   WHEN GREATEST(en, de, fr, es, it, pt, nl) = 0 THEN 'unknown'
+                   WHEN en >= de AND en >= fr AND en >= es AND en >= it
+                        AND en >= pt AND en >= nl THEN 'en'
+                   WHEN de >= fr AND de >= es AND de >= it AND de >= pt
+                        AND de >= nl THEN 'de'
+                   WHEN fr >= es AND fr >= it AND fr >= pt AND fr >= nl THEN 'fr'
+                   WHEN es >= it AND es >= pt AND es >= nl THEN 'es'
+                   WHEN it >= pt AND it >= nl THEN 'it'
+                   WHEN pt >= nl THEN 'pt'
+                   ELSE 'nl' END AS lang_pred
             FROM c
         """,
         "quality_scores": r"""

@@ -12,12 +12,17 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-# character-class n-gram profiles for a tiny deterministic heuristic lang-id
+# character-class n-gram profiles for a tiny deterministic heuristic lang-id.
+# Dict INSERTION ORDER is the idxmax tie-break and is replicated verbatim in
+# the SQL oracle's CASE ladder — extend both together, append-only.
 _LANG_MARKERS = {
     "en": [" the ", " and ", " of ", " to ", " in ", " is "],
     "de": [" der ", " die ", " und ", " das ", " ist ", " nicht "],
     "fr": [" le ", " la ", " les ", " de ", " et ", " est "],
     "es": [" el ", " la ", " los ", " de ", " que ", " es "],
+    "it": [" il ", " che ", " di ", " non ", " per ", " sono "],
+    "pt": [" o ", " os ", " uma ", " com ", " para ", " mais "],
+    "nl": [" het ", " een ", " van ", " niet ", " zijn ", " op "],
 }
 
 

@@ -431,3 +431,20 @@ def test_lang_id_pluggable_model_actor():
         .sort_values("doc_id")
     )
     assert out["lang_pred"].tolist() == ["xx", "yy", "xx"]
+
+
+def test_lang_id_extended_languages():
+    tbl = docs_table(
+        [
+            "il gatto non dorme che di notte per la casa e sono felici",
+            "o gato esta com os amigos para ver uma coisa mais bonita",
+            "het huis van een man is niet groot maar zijn tuin is op orde",
+        ]
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(text.LangId, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["lang_pred"].tolist() == ["it", "pt", "nl"]
