@@ -1,18 +1,20 @@
 #!/usr/bin/env python
 """A/B evidence for joins.partitions_for_bytes (VERDICT r02 #7).
 
-Synthesizes a deterministic 1M-document corpus (~300 B texts), then
-measures the minhash text-carrying exchanges under (a) the CPU-scaled
-partition default and (b) the byte-sized count, reporting:
+Synthesizes a 1M-document corpus with ~1.2 KB unique texts, then measures
+the quantity that drives per-task peak memory in every text-carrying
+exchange (minhash verify lookups, decontam gram shuffles): the MAX
+per-partition text bytes — each partition is ONE in-memory pandas frame
+per task in partitioned_group_map / partitioned_lookup_join.
 
-  * partitions used,
-  * the MAX per-partition frame bytes of the band-key exchange (the
-    quantity that blows a worker heap when partition count doesn't grow
-    with the corpus),
-  * wall time of candidate generation end-to-end.
+Compares (a) a small-cluster CPU floor (8 = 2×CPU on a 4-CPU cluster —
+the count a CPU-only rule would pick regardless of corpus size) against
+(b) partitions_for_bytes(disk × 4, floor=8). The CPU-only count's frame
+size grows linearly with the corpus; the byte-sized count caps it near
+PARTITION_TARGET_BYTES.
 
-Prints one JSON line; record the result in BASELINE.md next to the
-sizing rule. Usage: python tools/partition_sizing_ab.py [n_docs]
+Prints one JSON line; the result and the sizing rule live in BASELINE.md.
+Usage: python tools/partition_sizing_ab.py [n_docs]
 """
 
 from __future__ import annotations
@@ -22,6 +24,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -29,16 +33,19 @@ import pyarrow.parquet as pq
 
 
 def synth_docs(path: str, n: int) -> None:
+    """~1.2 KB unique text per doc (id-salted hex words — incompressible
+    enough that on-disk bytes track in-memory bytes within ~2x)."""
     if os.path.exists(os.path.join(path, "_DONE")):
         return
     os.makedirs(path, exist_ok=True)
-    words = [f"w{i:04d}" for i in range(4096)]
-    chunk = 100_000
+    chunk = 50_000
+    rng = np.random.RandomState(7)
+    salts = rng.randint(0, 1 << 62, size=160, dtype=np.int64)
     for c0 in range(0, n, chunk):
         ids = np.arange(c0, min(c0 + chunk, n), dtype=np.int64)
-        # ~40 words/doc, deterministic per id; ~10% near-dup pairs
-        rng_idx = (ids[:, None] * 131 + np.arange(40)[None, :] * 17) % 4096
-        texts = [" ".join(words[j] for j in row) for row in rng_idx]
+        # 160 7-hex-char words per doc, all id-dependent: ~1.2KB, unique
+        words = (ids[:, None] * 1_000_003 + salts[None, :]) & 0xFFFFFFF
+        texts = [" ".join(format(w, "07x") for w in row) for row in words]
         pq.write_table(
             pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)}),
             os.path.join(path, f"part-{c0:09d}.parquet"),
@@ -46,19 +53,19 @@ def synth_docs(path: str, n: int) -> None:
     open(os.path.join(path, "_DONE"), "w").write("ok")
 
 
-def max_partition_bytes(keys_ds, P: int) -> int:
-    """Largest per-partition frame bytes of the (band, band_hash) exchange
-    — computed directly from the hash the exchange itself uses."""
+def max_partition_text_bytes(docs, P: int) -> int:
+    """Largest per-partition frame bytes of a text exchange hashed on
+    doc_id % P — computed with the same hash partitioned_lookup_join and
+    partitioned_group_map use."""
 
     def part_bytes(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[["band", "band_hash"]], index=False).to_numpy()
+        h = pd.util.hash_array(df["doc_id"].to_numpy())
         p = (h % np.uint64(P)).astype(np.int64)
-        rowbytes = np.full(len(df), 20, np.int64)  # band(4)+hash(8)+doc_id(8)
-        out = pd.DataFrame({"p": p, "b": rowbytes}).groupby("p")["b"].sum()
-        return out.reset_index()
+        b = df["text"].str.len().to_numpy(np.int64)
+        return pd.DataFrame({"p": p, "b": b}).groupby("p")["b"].sum().reset_index()
 
     agg = (
-        keys_ds.map_batches(part_bytes, batch_format="pandas")
+        docs.map_batches(part_bytes, batch_format="pandas")
         .groupby("p")
         .sum("b")
         .to_pandas()
@@ -71,14 +78,14 @@ def main() -> None:
     import ray
     import ray.data as rd
 
-    from raydf.datapipe.dedup import MinHasher, minhash_candidate_pairs
-    from raydf.joins import default_partitions, partitions_for_bytes
+    from raydf.joins import partitions_for_bytes
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    path = f"/tmp/raydf_bench/docs_{n}"
+    path = f"/tmp/raydf_bench/docs1k_{n}"
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
                  log_to_driver=False)
+    t0 = time.time()
     synth_docs(path, n)
     disk = sum(
         os.path.getsize(os.path.join(path, f))
@@ -86,24 +93,15 @@ def main() -> None:
         if f.endswith(".parquet")
     )
     docs = rd.read_parquet(path)
-    keys = docs.map_batches(
-        MinHasher, fn_constructor_kwargs={}, batch_format="pyarrow",
-        batch_size=1024, concurrency=8,
-    ).materialize()
-
-    out: dict = {"n_docs": n, "disk_bytes": disk}
+    floor = 8  # 2 x CPU on a 4-CPU cluster: what a CPU-only rule picks
+    out = {"n_docs": n, "disk_bytes": disk, "synth_secs": round(time.time() - t0, 1)}
     for label, P in (
-        ("cpu_default", default_partitions()),
-        ("byte_sized", partitions_for_bytes(disk * 4)),
+        ("cpu_floor_only", floor),
+        ("byte_sized", partitions_for_bytes(disk * 4, floor=floor)),
     ):
-        t0 = time.time()
-        pairs = minhash_candidate_pairs(docs, num_partitions=P, concurrency=8)
-        n_pairs = pairs.count()
         out[label] = {
             "partitions": P,
-            "max_partition_bytes": max_partition_bytes(keys, P),
-            "candidate_pairs": n_pairs,
-            "candidate_secs": round(time.time() - t0, 1),
+            "max_partition_text_bytes": max_partition_text_bytes(docs, P),
         }
     print(json.dumps(out))
     ray.shutdown()

@@ -12,11 +12,19 @@ pessimization on that Ray version and should be removed:
   * chained-join    — a native join's empty hash partitions emit
                       schema-less blocks that crash a downstream native
                       join (mitigation: joins.partitioned_lookup_join for
-                      small chained joins)
-  * rename-schema   — Dataset.rename_columns reports the PRE-rename name
-                      via schema() while blocks carry the renamed column
-                      (mitigation: explicit arrow-map renames,
-                      dedup.minhash_dedup dropped_ds)
+                      small chained joins). NOTE: the field failure is
+                      INTERMITTENT; this micro-check passing once does
+                      not clear the mitigation — treat FIXED here as
+                      "not reproduced", not "safe".
+  * rename-schema   — Dataset.rename_columns reported the PRE-rename name
+                      via schema() while blocks carried the renamed column
+                      (observed 2026-08-18 inside relops.anti_join_keys
+                      over a canonical_mapping_distributed_ds output;
+                      mitigation: explicit arrow-map renames,
+                      dedup.minhash_dedup dropped_ds). The isolated
+                      repro below does NOT trip on Ray 2.49.2 — the
+                      failure is plan-shape-dependent; same caveat as
+                      chained-join.
   * join-partition-overhead — per-partition fixed cost of the native hash
                       join regresses past ~16 partitions (mitigation:
                       match._join_partitions hard 16 cap). This one is a
@@ -67,11 +75,29 @@ def check_chained_join(rd):
 
 
 def check_rename_schema(rd):
+    # reproduce the observed shape: a groupby.map_groups output →
+    # select_columns → rename_columns → a downstream helper that reads
+    # schema() and then consumes blocks (the 2026-08-18 failure had
+    # schema() report the PRE-rename name while blocks carried the new one)
     import pyarrow as pa
 
-    ds = rd.from_arrow(pa.table({"node": pa.array([1, 2, 3], pa.int64())}))
-    renamed = ds.rename_columns({"node": "doc_id"})
-    # consume schema() the way a tagged-union helper does, THEN read blocks
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([0, 0, 1], pa.int64()),
+                "node": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+    )
+    grouped = ds.groupby("g").map_groups(
+        lambda t: t.select(["node"]), batch_format="pyarrow"
+    )
+    renamed = (
+        grouped.select_columns(["node"])
+        .rename_columns({"node": "doc_id"})
+        .select_columns(["doc_id"])  # post-rename projection — part of the
+        # observed failing plan (anti_join_keys selects the join keys)
+    )
     names = list(renamed.schema().base_schema.names)
     got = renamed.take_batch(3)
     block_names = list(got.keys()) if isinstance(got, dict) else list(got.column_names)
@@ -93,39 +119,64 @@ def check_join_partition_overhead(rd):
         )
     ).materialize()
     out = {}
-    for p in (4, 16, 64):
+    for p in (4, 16, 32):  # 64 aggregators reserve the whole 8-CPU budget -> deadlock
         t0 = time.time()
         left.join(right, join_type="inner", on=("k",), num_partitions=p).count()
         out[p] = round(time.time() - t0, 2)
-    ratio = out[64] / out[16] if out[16] else float("inf")
+    ratio = out[32] / out[16] if out[16] else float("inf")
     verdict = "STILL-NEEDED" if ratio > 1.3 else "RE-EVALUATE-CAP"
-    return f"{verdict} (join secs by partitions {out}; 64/16 ratio {ratio:.2f})"
+    return f"{verdict} (join secs by partitions {out}; 32/16 ratio {ratio:.2f})"
 
 
-def main() -> None:
+CHECKS = {
+    "empty-side": check_empty_side_join,
+    "chained-join": check_chained_join,
+    "rename-schema": check_rename_schema,
+    "join-partition-overhead": check_join_partition_overhead,
+}
+
+
+def _run_one(name: str) -> None:
     import ray
     import ray.data as rd
 
     ray.init(
         address="local",
-        num_cpus=4,
+        num_cpus=8,
         include_dashboard=False,
         object_store_memory=2 * 1024**3,
         log_to_driver=False,
     )
-    checks = [
-        ("empty-side", check_empty_side_join),
-        ("chained-join", check_chained_join),
-        ("rename-schema", check_rename_schema),
-        ("join-partition-overhead", check_join_partition_overhead),
-    ]
-    print(f"ray {ray.__version__}")
-    for name, fn in checks:
-        try:
-            print(f"{name:26s} {fn(rd)}")
-        except Exception:
-            print(f"{name:26s} CHECK-ERROR:\n{traceback.format_exc()}")
+    try:
+        print(f"{name:26s} {CHECKS[name](rd)}")
+    except Exception:
+        print(f"{name:26s} CHECK-ERROR:\n{traceback.format_exc()}")
     ray.shutdown()
+
+
+def main() -> None:
+    # Each check runs in a FRESH subprocess + Ray session with a hard
+    # timeout: a reproducing bug (e.g. the join-aggregator CPU-reservation
+    # deadlock) must report STILL-NEEDED, not hang the whole tool.
+    import subprocess
+    import sys
+
+    import ray
+
+    if len(sys.argv) > 1:
+        _run_one(sys.argv[1])
+        return
+    print(f"ray {ray.__version__}")
+    for name in CHECKS:
+        try:
+            p = subprocess.run(
+                [sys.executable, __file__, name],
+                capture_output=True, text=True, timeout=300,
+            )
+            out = p.stdout.strip() or p.stderr.strip()[-300:]
+            print(out)
+        except subprocess.TimeoutExpired:
+            print(f"{name:26s} STILL-NEEDED (check timed out after 300 s — hang/deadlock)")
 
 
 if __name__ == "__main__":
