@@ -1113,6 +1113,35 @@ def _stratified_sample_docs(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def _dup_span_stats(sf_dir: str):
+    """Exact-substring dedup scoring (Lee et al. 2021 ExactSubstr family):
+    per-document counts of distinct word 4-grams and of those shared with
+    at least one other document. One gram-string hash shuffle; exact."""
+    from raydf.datapipe.spans import dup_span_stats
+    from raydf.joins import partitions_for_bytes
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_span_stats(
+        docs, n=4,
+        num_partitions=partitions_for_bytes(_table_bytes(sf_dir, "documents", expansion=16)),
+    )
+
+
+def _scrub_dup_spans(sf_dir: str):
+    """Exact-substring removal: scrub every cross-document duplicated word
+    4-gram span and emit (n_words, n_removed, md5 of the scrubbed text)
+    per document — the destructive half of the ExactSubstr pipeline. Gram
+    shuffle → covered positions → one two-sided doc_id exchange."""
+    from raydf.datapipe.spans import scrub_dup_spans
+    from raydf.joins import partitions_for_bytes
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return scrub_dup_spans(
+        docs, n=4,
+        num_partitions=partitions_for_bytes(_table_bytes(sf_dir, "documents", expansion=16)),
+    )
+
+
 def _hll_distinct_users(sf_dir: str):
     """Approximate distinct users per event type as a mergeable HLL
     sketch, emitted as the exact-integer register histogram — the oracle
@@ -1227,6 +1256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": _repetition_scores,
         "stratified_sample_docs": _stratified_sample_docs,
         "hll_distinct_users": _hll_distinct_users,
+        "dup_span_stats": _dup_span_stats,
+        "scrub_dup_spans": _scrub_dup_spans,
     }
 
 
@@ -1816,6 +1847,56 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN nl ON nl.doc_id = d.doc_id
             LEFT JOIN mx ON mx.doc_id = d.doc_id
+        """,
+        "dup_span_stats": """
+            WITH words AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+              FROM words, UNNEST(range(1, len(w) - 2)) AS t(i)
+            ), dg AS (
+              SELECT DISTINCT doc_id, gram FROM grams
+            ), gc AS (
+              SELECT gram, COUNT(*) AS nd FROM dg GROUP BY gram
+            )
+            SELECT d.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(SUM(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_dup_spans
+            FROM dg d JOIN gc USING (gram)
+            GROUP BY d.doc_id
+        """,
+        "scrub_dup_spans": """
+            WITH words AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, i - 1 AS pos, w[i] AS tok
+              FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+            ), grams AS (
+              SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+3], ' ') AS gram
+              FROM words, UNNEST(range(1, len(w) - 2)) AS t(i)
+            ), dup AS (
+              SELECT gram FROM (
+                SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gram
+              ) WHERE nd >= 2
+            ), cov AS (
+              SELECT DISTINCT g.doc_id, g.pos + k.k AS pos
+              FROM grams g JOIN dup USING (gram), UNNEST(range(0, 4)) AS k(k)
+            ), kept AS (
+              SELECT t.doc_id,
+                     COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos)
+                              FILTER (c.pos IS NULL), '') AS clean_text,
+                     CAST(COUNT(*) FILTER (c.pos IS NOT NULL) AS BIGINT) AS n_removed
+              FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+              GROUP BY t.doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(len(w.w) AS BIGINT) AS n_words,
+                   COALESCE(k.n_removed, 0) AS n_removed,
+                   md5(COALESCE(k.clean_text, '')) AS clean_md5
+            FROM words w LEFT JOIN kept k ON k.doc_id = w.doc_id
         """,
         "stratified_sample_docs": """
             SELECT doc_id, lang FROM documents

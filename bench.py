@@ -107,6 +107,9 @@ _BENCH_QUERIES = [
     "repetition_scores",
     "stratified_sample_docs",
     "decontaminate_docs",
+    # round-3 operator families
+    "dup_span_stats",
+    "scrub_dup_spans",
 ]
 
 
