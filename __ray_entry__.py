@@ -1142,6 +1142,18 @@ def _scrub_dup_spans(sf_dir: str):
     )
 
 
+def _kmeans_clusters(sf_dir: str):
+    """Full-data Lloyd k-means over the embeddings table (k=8, 2 exact
+    integer centroid updates + final labelling): the corpus-bucketing /
+    semantic-shard operator. Every iteration is a broadcast + one
+    streaming partial/final aggregate; the oracle unrolls the identical
+    integer arithmetic as CTEs."""
+    from raydf.datapipe.cluster import kmeans_assign
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_assign(emb, k=8, iters=2)
+
+
 def _hll_distinct_users(sf_dir: str):
     """Approximate distinct users per event type as a mergeable HLL
     sketch, emitted as the exact-integer register histogram — the oracle
@@ -1258,7 +1270,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _hll_distinct_users,
         "dup_span_stats": _dup_span_stats,
         "scrub_dup_spans": _scrub_dup_spans,
+        "kmeans_clusters": _kmeans_clusters,
     }
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
+    """DuckDB replica of the exact-integer Lloyd k-means: quantization
+    (floor(x*1e6+0.5) in float64 — IEEE-identical to the kernel), integer
+    squared distances with smaller-cluster-id tie-break, floor-division
+    centroid updates (floor(s/n), matching numpy floor_divide — NOT
+    DuckDB's truncating //), empty clusters keeping the previous
+    centroid. Each iteration is one assign+means+coalesce CTE triple,
+    unrolled ``iters`` times, then a final assignment."""
+    parts = [f"""
+        WITH q AS (
+          SELECT vec_id, i - 1 AS d,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT) AS x
+          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ), c0 AS (
+          SELECT vec_id AS cluster, d, x AS c FROM q WHERE vec_id < {k}
+        )"""]
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f""", {name} AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM (SELECT q.vec_id, c.cluster,
+                         SUM((q.x - c.c) * (q.x - c.c)) AS dist
+                  FROM q JOIN {cents} c ON c.d = q.d
+                  GROUP BY q.vec_id, c.cluster))
+          WHERE rn = 1
+        )"""
+
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(assign_cte(f"a{i}", prev))
+        parts.append(f""", m{i} AS (
+          SELECT a.cluster, q.d,
+                 CAST(floor(CAST(SUM(q.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+          FROM a{i} a JOIN q USING (vec_id) GROUP BY a.cluster, q.d
+        ), c{i} AS (
+          SELECT p.cluster, p.d, COALESCE(m.c, p.c) AS c
+          FROM {prev} p LEFT JOIN m{i} m
+            ON m.cluster = p.cluster AND m.d = p.d
+        )""")
+        prev = f"c{i}"
+    parts.append(assign_cte("afinal", prev))
+    parts.append("\n        SELECT vec_id, cluster FROM afinal")
+    return "".join(parts)
 
 
 def _minhash_oracle_sql() -> str:
@@ -1818,6 +1880,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "minhash_dedup_docs": _minhash_oracle_sql(),
+        "kmeans_clusters": _kmeans_oracle_sql(k=8, iters=2),
         "simhash_pairs_docs": _simhash_oracle_sql(),
         "repetition_scores": r"""
             WITH l AS (

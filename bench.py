@@ -110,6 +110,7 @@ _BENCH_QUERIES = [
     # round-3 operator families
     "dup_span_stats",
     "scrub_dup_spans",
+    "kmeans_clusters",
 ]
 
 

@@ -1,0 +1,136 @@
+"""Distributed k-means (Lloyd) over an embedding column — the clustering
+stage a training-data pipeline runs for corpus bucketing, semantic dedup
+sharding, or IVF-style index builds.
+
+The reference engine has no clustering (it is an RDF deduction library);
+this extends the LLM-data operator family (SURVEY.md §2.7 O41 note). It
+complements :mod:`raydf.datapipe.ann`'s sampled spherical k-means (used to
+train IVF coarse quantizers): this one is FULL-data Lloyd with exact
+integer arithmetic, so every iteration is bit-reproducible and the whole
+iterative algorithm can be value-checked by a SQL oracle with the
+iterations unrolled as CTEs.
+
+Determinism contract (what makes it oracle-checkable):
+
+* vectors quantize once to int64 micro-units: ``floor(float64(x)*1e6 +
+  0.5)`` — float32→float64 promotion and the *1e6 product are IEEE-exact
+  on both sides (numpy and DuckDB ``CAST(... AS DOUBLE)``);
+* distances are integer: ``Σ_d (x_e6 - c_e6)²`` fits int64 comfortably
+  ((4·10¹²)·dim per term pair); argmin ties break on the smaller cluster
+  id;
+* centroid update is integer floor division ``floor(Σ x_e6 / n)`` —
+  numpy ``floor_divide`` == SQL ``floor(s/n)`` (NOT DuckDB's ``//``,
+  which truncates toward zero); empty clusters keep their previous
+  centroid.
+
+Scale shape: centroids are a k×d int64 array broadcast via ``ray.put``
+once per iteration; each ``map_batches`` task computes assignments with
+one integer matmul (``dist = x² + c² − 2·x·cᵀ``) and collapses to k
+partial rows (count + per-dim sum), so only ``k × blocks`` tiny rows
+reach the driver-side reduce — the classic partial/final aggregate. The
+final labelled pass streams; nothing materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+QUANT = 1_000_000
+
+
+def quantize(vecs: np.ndarray) -> np.ndarray:
+    """float embedding matrix → int64 micro-units, half-up rounding
+    (matches SQL ``floor(CAST(x AS DOUBLE)*1000000 + 0.5)``)."""
+    return np.floor(vecs.astype(np.float64) * QUANT + 0.5).astype(np.int64)
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    from raydf.datapipe.ann import _vec_matrix
+
+    # float32 intermediate is lossless here: the source column is
+    # list<float>; quantize() promotes to float64 before scaling
+    return _vec_matrix(batch, col)
+
+
+def assign(x_e6: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin_k Σ_d (x−c)² with ties to the smaller cluster id.
+
+    Integer matmul keeps the arithmetic exact; np.argmin returns the
+    FIRST minimum, which is exactly the smaller-id tie-break."""
+    x_sq = np.einsum("nd,nd->n", x_e6, x_e6)
+    c_sq = np.einsum("kd,kd->k", cents, cents)
+    d = x_sq[:, None] + c_sq[None, :] - 2 * (x_e6 @ cents.T)
+    return np.argmin(d, axis=1).astype(np.int64)
+
+
+def _init_centroids(embeds, k: int, *, id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic init: the (quantized) vectors of the k smallest ids —
+    trivially reproducible in SQL, no RNG to keep in sync."""
+    import pyarrow.compute as pc
+
+    seed = embeds.map_batches(
+        lambda t: t.filter(pc.less(t[id_col], k)), batch_format="pyarrow"
+    ).to_pandas()
+    seed = seed.sort_values(id_col)
+    assert len(seed) == k, f"ids 0..{k-1} must exist for deterministic init"
+    return quantize(np.stack(seed[vec_col].to_numpy()))
+
+
+def kmeans_assign(embeds, *, k: int = 8, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Lloyd k-means over ``embeds`` (Dataset with an id and a
+    ``list<float>`` column). Runs ``iters`` exact-integer centroid
+    updates, then returns the LAZY final assignment Dataset
+    ``(vec_id, cluster)``.
+
+    Each update is one streaming pass: broadcast centroids → per-batch
+    integer-matmul assignment → k partial (count, Σ per dim) rows per
+    block → driver reduce over the k×blocks partials (k×d ints — tiny).
+    """
+    cents = _init_centroids(embeds, k, id_col=id_col, vec_col=vec_col)
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            x = quantize(_batch_matrix(batch, vec_col))
+            lab = assign(x, c)
+            counts = np.bincount(lab, minlength=k).astype(np.int64)
+            sums = np.zeros((k, dim), np.int64)
+            np.add.at(sums, lab, x)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(counts),
+                    "s": pa.array(list(sums), pa.list_(pa.int64())),
+                }
+            )
+
+        p = embeds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        counts = np.zeros(k, np.int64)
+        sums = np.zeros((k, dim), np.int64)
+        for cl, n, s in zip(p["cluster"], p["n"], p["s"]):
+            counts[cl] += n
+            sums[cl] += np.asarray(s, np.int64)
+        nz = counts > 0
+        new = cents.copy()  # empty clusters keep their previous centroid
+        new[nz] = np.floor_divide(sums[nz], counts[nz, None])
+        cents = new
+
+    ref = ray.put(cents)
+
+    def label(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = quantize(_batch_matrix(batch, vec_col))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(assign(x, c), pa.int64()),
+            }
+        )
+
+    return embeds.map_batches(label, batch_format="pyarrow")

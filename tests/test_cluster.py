@@ -1,0 +1,88 @@
+"""k-means tests: exact-integer Lloyd vs an in-test replica, block-count
+invariance of the partial/final aggregate, and empty-cluster handling."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from raydf.datapipe import cluster
+
+
+def emb_table(vecs: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+
+
+def replica(vecs: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Single-process Lloyd with the module's exact contract."""
+    x = cluster.quantize(vecs.astype(np.float32))
+    cents = x[:k].copy()
+    for _ in range(iters):
+        lab = cluster.assign(x, cents)
+        new = cents.copy()
+        for c in range(k):
+            m = lab == c
+            if m.any():
+                new[c] = np.floor_divide(x[m].sum(axis=0), m.sum())
+        cents = new
+    return cluster.assign(x, cents)
+
+
+def test_kmeans_matches_replica_and_block_invariant():
+    rng = np.random.default_rng(7)
+    # interleave blobs so the deterministic seeds (ids 0..3) start one per blob
+    blob = np.arange(120) % 4
+    vecs = rng.normal(scale=0.4, size=(120, 8)) + 3.0 * blob[:, None]
+    exp = replica(vecs, k=4, iters=2)
+    for blocks in (1, 7):
+        out = (
+            cluster.kmeans_assign(
+                rd.from_arrow(emb_table(vecs)).repartition(blocks), k=4, iters=2
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        assert (out["cluster"].to_numpy() == exp).all()
+    # the planted blobs are actually separated: one cluster per blob
+    for g in range(4):
+        assert len(set(exp[blob == g])) == 1
+    assert len(set(exp)) == 4
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid():
+    # seeds 0 and 1 are identical: argmin ties to cluster 0, cluster 1
+    # captures nothing and must keep its centroid without crashing
+    vecs = np.array(
+        [[0.0, 0.0], [0.0, 0.0], [10.0, 10.0], [10.0, 11.0], [0.1, 0.0]],
+    )
+    out = (
+        cluster.kmeans_assign(rd.from_arrow(emb_table(vecs)), k=3, iters=2)
+        .to_pandas()
+        .sort_values("vec_id")["cluster"]
+        .to_numpy()
+    )
+    exp = replica(vecs, k=3, iters=2)
+    assert (out == exp).all()
+    # cluster 1 was starved in iteration 1; because it KEPT its [0,0]
+    # centroid (instead of degenerating), the zero points come back to it
+    # once cluster 0's centroid drifts — all three clusters end non-empty
+    assert set(out) == {0, 1, 2}
+
+
+def test_kmeans_negative_coordinates_floor_division():
+    # negative sums exercise floor (not truncating) centroid division
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(loc=-2.0, scale=1.0, size=(40, 5))
+    out = (
+        cluster.kmeans_assign(rd.from_arrow(emb_table(vecs)), k=3, iters=3)
+        .to_pandas()
+        .sort_values("vec_id")["cluster"]
+        .to_numpy()
+    )
+    assert (out == replica(vecs, k=3, iters=3)).all()
