@@ -1154,6 +1154,38 @@ def _kmeans_clusters(sf_dir: str):
     return kmeans_assign(emb, k=8, iters=2)
 
 
+def _pagerank_trade_graph(sf_dir: str):
+    """Integer PageRank (3 iterations, damping 85/100) over the
+    bidirectional customer↔supplier trade graph (edges from orders ⋈
+    lineitem; customers at node 2c, suppliers at 2s+1). Iterative graph
+    centrality as partitioned exchanges — no driver-side graph."""
+    from raydf import joins
+    from raydf.graph import pagerank
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    wc = joins.partitioned_lookup_join(
+        li, "l_orderkey", orders, "o_orderkey", "o_custkey", "cust"
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = t["cust"].to_numpy(zero_copy_only=False).astype(np.int64) * 2
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64) * 2 + 1
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, s]), pa.int64()),
+                "dst": pa.array(np.concatenate([s, c]), pa.int64()),
+            }
+        )
+
+    edges = joins.distinct(
+        wc.map_batches(both_dirs, batch_format="pyarrow"), ["src", "dst"]
+    )
+    return pagerank(edges, iters=3)
+
+
 def _hll_distinct_users(sf_dir: str):
     """Approximate distinct users per event type as a mergeable HLL
     sketch, emitted as the exact-integer register histogram — the oracle
@@ -1271,6 +1303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": _dup_span_stats,
         "scrub_dup_spans": _scrub_dup_spans,
         "kmeans_clusters": _kmeans_clusters,
+        "pagerank_trade_graph": _pagerank_trade_graph,
     }
 
 
@@ -1320,6 +1353,42 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
         prev = f"c{i}"
     parts.append(assign_cte("afinal", prev))
     parts.append("\n        SELECT vec_id, cluster FROM afinal")
+    return "".join(parts)
+
+
+def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
+    """DuckDB replica of the integer PageRank: same nonnegative floor
+    divisions (DuckDB ``//`` == numpy ``//`` for nonnegatives), one CTE
+    pair (contrib, rank) per iteration, teleport base
+    ``(15·(scale//N))//100`` with damping ``(85·Σ)//100``."""
+    r0v = f"(SELECT {scale} // COUNT(*) FROM nodes)"
+    parts = [f"""
+        WITH pair AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ), e AS (
+          SELECT c AS src, s AS dst FROM pair
+          UNION ALL SELECT s AS src, c AS dst FROM pair
+        ), nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+        ), deg AS (
+          SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+        ), r0 AS (
+          SELECT node, CAST({r0v} AS BIGINT) AS r FROM nodes
+        )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", c{i} AS (
+          SELECT e.dst AS node, SUM(r.r // d.outdeg) AS c
+          FROM e JOIN r{i-1} r ON r.node = e.src JOIN deg d ON d.src = e.src
+          GROUP BY e.dst
+        ), r{i} AS (
+          SELECT n.node,
+                 CAST(15 * {r0v} // 100 + 85 * COALESCE(c.c, 0) // 100
+                      AS BIGINT) AS r
+          FROM nodes n LEFT JOIN c{i} c USING (node)
+        )""")
+    parts.append(f"\n        SELECT node, r AS rank_e12 FROM r{iters}")
     return "".join(parts)
 
 
@@ -1881,6 +1950,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dedup_docs": _minhash_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(k=8, iters=2),
+        "pagerank_trade_graph": _pagerank_oracle_sql(iters=3),
         "simhash_pairs_docs": _simhash_oracle_sql(),
         "repetition_scores": r"""
             WITH l AS (

@@ -111,6 +111,7 @@ _BENCH_QUERIES = [
     "dup_span_stats",
     "scrub_dup_spans",
     "kmeans_clusters",
+    "pagerank_trade_graph",
 ]
 
 
