@@ -1186,6 +1186,51 @@ def _pagerank_trade_graph(sf_dir: str):
     return pagerank(edges, iters=3)
 
 
+def _components_trade_graph(sf_dir: str):
+    """Undirected connected components of the SPARSE trade graph
+    (customer↔supplier edges with ≥4 shared orders — the threshold keeps
+    the graph fragmented so components are non-trivial). Component id =
+    min node id, via the engine's Eq-merge label propagation."""
+    from raydf import joins
+    from raydf.graph import connected_components
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    wc = joins.partitioned_lookup_join(
+        li, "l_orderkey", orders, "o_orderkey", "o_custkey", "cust"
+    )
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop_duplicates(["cust", "l_suppkey", "l_orderkey"])
+            .groupby(["cust", "l_suppkey"], sort=False)
+            .size()
+        )
+        g = g[g >= 4]
+        idx = g.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "cust": idx["cust"].to_numpy(np.int64),
+                "supp": idx["l_suppkey"].to_numpy(np.int64),
+            }
+        )
+
+    pairs = joins.partitioned_group_map(wc, ["cust", "l_suppkey"], pair_counts)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        c = t["cust"].to_numpy(zero_copy_only=False) * 2
+        s = t["supp"].to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, s]), pa.int64()),
+                "dst": pa.array(np.concatenate([s, c]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    return connected_components(edges)
+
+
 def _hll_distinct_users(sf_dir: str):
     """Approximate distinct users per event type as a mergeable HLL
     sketch, emitted as the exact-integer register histogram — the oracle
@@ -1304,6 +1349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_dup_spans": _scrub_dup_spans,
         "kmeans_clusters": _kmeans_clusters,
         "pagerank_trade_graph": _pagerank_trade_graph,
+        "components_trade_graph": _components_trade_graph,
     }
 
 
@@ -1951,6 +1997,23 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_docs": _minhash_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(k=8, iters=2),
         "pagerank_trade_graph": _pagerank_oracle_sql(iters=3),
+        "components_trade_graph": """
+            WITH RECURSIVE pair AS (
+              SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              GROUP BY 1, 2 HAVING COUNT(DISTINCT o_orderkey) >= 4
+            ), e AS (
+              SELECT c AS a, s AS b FROM pair UNION ALL SELECT s, c FROM pair
+            ), nodes AS (
+              SELECT DISTINCT a AS node FROM e
+            ), reach(a, b) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+            )
+            SELECT a AS node, CAST(MIN(b) AS BIGINT) AS component
+            FROM reach GROUP BY a
+        """,
         "simhash_pairs_docs": _simhash_oracle_sql(),
         "repetition_scores": r"""
             WITH l AS (

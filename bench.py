@@ -112,6 +112,7 @@ _BENCH_QUERIES = [
     "scrub_dup_spans",
     "kmeans_clusters",
     "pagerank_trade_graph",
+    "components_trade_graph",
 ]
 
 

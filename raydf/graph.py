@@ -151,6 +151,61 @@ def _pagerank_broadcast(edges, nodes, n_nodes: int, r0: int, base: int,
     )
 
 
+# --------------------------------------------------- connected components
+
+
+def connected_components(edges, *, num_partitions: int | None = None):
+    """Undirected connected components over an edge Dataset
+    (``src``/``dst`` int64): Dataset of ``(node, component)`` for every
+    node that appears in any edge, with ``component`` = the minimum node
+    id of the component (the same deterministic representative as the Eq
+    canonicalization this reuses).
+
+    Reuses :func:`raydf.canonicalize.canonical_mapping`, which picks the
+    numpy min-label/pointer-jumping driver path under DRIVER_PAIR_LIMIT
+    and the distributed min-label propagation above it (the engine's
+    Eq-merge machinery, raydf/canonicalize.py:56-217). The returned
+    mapping holds only MERGED nodes (∝ components' non-representative
+    members, ≪ edges); singletons and representatives fill back in a
+    streaming pass over the node set."""
+    from raydf.canonicalize import canonical_mapping
+
+    pairs = edges.map_batches(
+        lambda t: pa.table({"a": t["src"], "b": t["dst"]}),
+        batch_format="pyarrow",
+    )
+    mapping = canonical_mapping(pairs)  # driver frame, merged nodes only
+    nodes = _node_union(edges)
+    mp_ref = ray.put(
+        (np.sort(np.empty(0, np.int64)), np.empty(0, np.int64))
+        if len(mapping) == 0
+        else _sorted_map(mapping)
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(mp_ref)
+        n = t["node"].to_numpy(zero_copy_only=False)
+        comp = n.copy()
+        if len(keys):
+            i = np.searchsorted(keys, n)
+            i = np.clip(i, 0, len(keys) - 1)
+            hit = keys[i] == n
+            comp[hit] = vals[i[hit]]
+        return pa.table(
+            {"node": pa.array(n, pa.int64()),
+             "component": pa.array(comp, pa.int64())}
+        )
+
+    return nodes.map_batches(attach, batch_format="pyarrow")
+
+
+def _sorted_map(mapping: pd.DataFrame):
+    node = mapping["node"].to_numpy(np.int64)
+    canon = mapping["canon"].to_numpy(np.int64)
+    order = np.argsort(node, kind="stable")
+    return node[order], canon[order]
+
+
 # ----------------------------------------------- partitioned (huge nodes)
 
 

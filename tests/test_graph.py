@@ -72,3 +72,45 @@ def test_pagerank_sink_and_source_nodes():
     base = (15 * (10**12 // 4)) // 100
     assert got[0] == base  # no in-edges: teleport base only
     assert got[2] > got[0]  # sink accumulates upstream mass
+
+
+def comp_replica(src, dst):
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    parent = list(range(len(nodes)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src, dst):
+        ra, rb = find(idx[a]), find(idx[b])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {int(n): int(nodes[find(idx[n])]) for n in nodes}
+
+
+def test_connected_components_matches_union_find(random_graph):
+    from raydf.graph import connected_components
+
+    src, dst = random_graph
+    out = connected_components(
+        rd.from_arrow(edge_table(src, dst)).repartition(4)
+    ).to_pandas()
+    got = dict(zip(out["node"].tolist(), out["component"].tolist()))
+    assert got == comp_replica(src, dst)
+
+
+def test_connected_components_distributed_path(random_graph, monkeypatch):
+    import raydf.canonicalize as cz
+    from raydf.graph import connected_components
+
+    monkeypatch.setattr(cz, "DRIVER_PAIR_LIMIT", 0)
+    src, dst = random_graph
+    out = connected_components(
+        rd.from_arrow(edge_table(src, dst)).repartition(4)
+    ).to_pandas()
+    got = dict(zip(out["node"].tolist(), out["component"].tolist()))
+    assert got == comp_replica(src, dst)
