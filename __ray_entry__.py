@@ -1231,6 +1231,16 @@ def _components_trade_graph(sf_dir: str):
     return connected_components(edges)
 
 
+def _cms_token_counts(sf_dir: str):
+    """Mergeable Count-Min sketch of corpus token frequencies (4×1024,
+    md5-rowed): exact-integer nonzero cells — the heavy-hitter sketch,
+    fully value-checked (the oracle rebuilds every cell from md5)."""
+    from raydf.datapipe.sketch import cms_token_counts
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return cms_token_counts(docs)
+
+
 def _hll_distinct_users(sf_dir: str):
     """Approximate distinct users per event type as a mergeable HLL
     sketch, emitted as the exact-integer register histogram — the oracle
@@ -1350,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _kmeans_clusters,
         "pagerank_trade_graph": _pagerank_trade_graph,
         "components_trade_graph": _components_trade_graph,
+        "cms_token_counts": _cms_token_counts,
     }
 
 
@@ -1997,6 +2008,19 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_docs": _minhash_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(k=8, iters=2),
         "pagerank_trade_graph": _pagerank_oracle_sql(iters=3),
+        "cms_token_counts": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              FROM documents
+            ), cells AS (
+              SELECT d,
+                     CAST(CAST(md5_number_lower(CAST(d AS VARCHAR) || ':' || tok)
+                               AS HUGEINT) % 1024 AS BIGINT) AS w
+              FROM toks, UNNEST(range(0, 4)) AS t(d)
+            )
+            SELECT CAST(d AS BIGINT) AS d, w, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cells GROUP BY d, w
+        """,
         "components_trade_graph": """
             WITH RECURSIVE pair AS (
               SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s

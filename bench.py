@@ -113,6 +113,7 @@ _BENCH_QUERIES = [
     "kmeans_clusters",
     "pagerank_trade_graph",
     "components_trade_graph",
+    "cms_token_counts",
 ]
 
 

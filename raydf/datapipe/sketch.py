@@ -276,3 +276,86 @@ def hll_register_histogram(ds, group_col: str, value_col: str):
     from raydf.joins import partitioned_group_map
 
     return partitioned_group_map(regs, ["g"], hist)
+
+
+# ------------------------------------------------------- Count-Min sketch
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_buckets(tokens: np.ndarray, depth: int = CMS_DEPTH,
+                width: int = CMS_WIDTH) -> np.ndarray:
+    """(depth, len(tokens)) bucket matrix: row d hashes ``"{d}:{tok}"``
+    with md5 (md5_number_lower semantics) mod width — the d-prefix is the
+    standard independent-row trick and keeps every cell recomputable by a
+    SQL oracle (same contract as the HLL registers / minhash shingles)."""
+    from raydf.datapipe.dedup import md5_u64
+
+    return np.stack(
+        [
+            (md5_u64(np.array([f"{d}:{t}" for t in tokens], dtype=object))
+             % np.uint64(width)).astype(np.int64)
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_estimate(state: pd.DataFrame, tokens, *, depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH) -> np.ndarray:
+    """Point-query the sketch: estimate(tok) = min over rows d of
+    cell[d][h_d(tok)] — the classic Count-Min upper-bound estimator.
+    ``state``: (d, w, cnt) frame as produced by :func:`cms_token_counts`."""
+    cells = np.zeros((depth, width), np.int64)
+    cells[state["d"].to_numpy(np.int64), state["w"].to_numpy(np.int64)] = (
+        state["cnt"].to_numpy(np.int64)
+    )
+    b = cms_buckets(np.asarray(tokens, dtype=object), depth, width)
+    return cells[np.arange(depth)[:, None], b].min(axis=0)
+
+
+def cms_token_counts(docs, *, text_col: str = "text",
+                     depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """Mergeable Count-Min sketch of word-token frequencies across a
+    corpus, emitted as the exact-integer nonzero-cell state
+    ``(d, w, cnt)`` — heavy-hitter estimation at 100 TB without a
+    vocabulary-sized shuffle.
+
+    Combiner shape: each batch dedups its tokens (md5 only on uniques),
+    bincounts into a local depth×width sketch, and emits ≤ depth×width
+    partial rows; one small keyed shuffle sums cells. Shuffle is
+    sketch-sized (≤ 4096 rows/block), never corpus-sized."""
+    import pyarrow as pa
+
+    import re
+
+    word = re.compile(r"[a-z0-9]+")
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(word).explode().dropna()
+        if len(toks) == 0:
+            return pd.DataFrame(
+                {"d": pd.Series([], dtype=np.int64),
+                 "w": pd.Series([], dtype=np.int64),
+                 "cnt": pd.Series([], dtype=np.int64)}
+            )
+        uniq, counts = np.unique(toks.to_numpy(dtype=object), return_counts=True)
+        b = cms_buckets(uniq, depth, width)
+        cells = np.zeros((depth, width), np.int64)
+        for d in range(depth):
+            np.add.at(cells[d], b[d], counts)
+        dd, ww = np.nonzero(cells)
+        return pd.DataFrame(
+            {"d": dd.astype(np.int64), "w": ww.astype(np.int64),
+             "cnt": cells[dd, ww]}
+        )
+
+    partials = docs.map_batches(local, batch_format="pandas", batch_size=65536)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["d", "w"], sort=False, as_index=False)["cnt"].sum()
+        return g.astype({"d": np.int64, "w": np.int64, "cnt": np.int64})
+
+    from raydf.joins import partitioned_group_map
+
+    return partitioned_group_map(partials, ["d", "w"], total, num_partitions=8)

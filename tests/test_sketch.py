@@ -118,3 +118,48 @@ def test_hll_histogram_batch_size_invariant(ray_session):
         h = a[a["g"] == g] if "g" in a.columns else a[a.iloc[:, 0] == g]
         est = hll_estimate(pd.Series(h["n_registers"].to_numpy(), index=h["rho"].to_numpy()))
         assert abs(est - true_n) / true_n < 0.1
+
+
+# ------------------------------------------------------- Count-Min sketch
+
+
+def test_cms_state_batch_invariant_and_estimates():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydf.datapipe.sketch import cms_estimate, cms_token_counts
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(200)]
+    # zipf-ish truth: token i appears ~ 2000/(i+1) times
+    texts, truth = [], {}
+    words = []
+    for i, t in enumerate(vocab):
+        n = max(1, 2000 // (i + 1))
+        truth[t] = n
+        words.extend([t] * n)
+    rng.shuffle(words)
+    for i in range(0, len(words), 50):
+        texts.append(" ".join(words[i : i + 50]))
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+
+    states = []
+    for blocks in (1, 7):
+        st = (
+            cms_token_counts(rd.from_arrow(tbl).repartition(blocks))
+            .to_pandas()
+            .sort_values(["d", "w"])
+            .reset_index(drop=True)
+        )
+        states.append(st)
+    # mergeability: the sketch state is independent of how blocks split
+    assert states[0].equals(states[1])
+
+    st = states[0]
+    n_total = sum(truth.values())
+    est = cms_estimate(st, np.array(vocab, dtype=object))
+    exact = np.array([truth[t] for t in vocab])
+    assert (est >= exact).all()  # CMS never under-counts
+    # classic error bound: overshoot ≤ e/width · N with prob 1-e^-depth;
+    # deterministic fixture comfortably inside it
+    assert (est - exact).max() <= np.e / 1024 * n_total * 4
