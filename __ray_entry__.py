@@ -1231,6 +1231,16 @@ def _components_trade_graph(sf_dir: str):
     return connected_components(edges)
 
 
+def _tfidf_top_terms(sf_dir: str):
+    """Top-3 characteristic terms per document by integer-scaled TF-IDF
+    (keyword extraction): batch-local tf, one term exchange for df, then
+    the top-k-per-group combiner."""
+    from raydf.datapipe.text import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(docs, n_docs=docs.count(), k=3)
+
+
 def _cms_token_counts(sf_dir: str):
     """Mergeable Count-Min sketch of corpus token frequencies (4×1024,
     md5-rowed): exact-integer nonzero cells — the heavy-hitter sketch,
@@ -1361,6 +1371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_trade_graph": _pagerank_trade_graph,
         "components_trade_graph": _components_trade_graph,
         "cms_token_counts": _cms_token_counts,
+        "tfidf_top_terms": _tfidf_top_terms,
     }
 
 
@@ -2008,6 +2019,23 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_docs": _minhash_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(k=8, iters=2),
         "pagerank_trade_graph": _pagerank_oracle_sql(iters=3),
+        "tfidf_top_terms": """
+            WITH words AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM words GROUP BY 1, 2
+            ), df AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            )
+            SELECT t.doc_id, t.term,
+                   CAST(t.tf * (((SELECT COUNT(*) FROM documents) * 1000000)
+                                // d.df) AS BIGINT) AS score_e6
+            FROM tf t JOIN df d USING (term)
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY t.doc_id ORDER BY score_e6 DESC, t.term) <= 3
+        """,
         "cms_token_counts": """
             WITH toks AS (
               SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

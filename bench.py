@@ -114,6 +114,7 @@ _BENCH_QUERIES = [
     "pagerank_trade_graph",
     "components_trade_graph",
     "cms_token_counts",
+    "tfidf_top_terms",
 ]
 
 

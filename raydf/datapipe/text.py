@@ -235,3 +235,61 @@ def fingerprint(batch: pa.Table) -> pa.Table:
     out = out.append_column("md5_fingerprint", pa.array(md5s, pa.string()))
     out = out.append_column("rolling_hash", pa.array(rolls, pa.int64()))
     return out
+
+
+# ------------------------------------------------- TF-IDF keyword extraction
+
+
+def tfidf_top_terms(docs, n_docs: int, *, k: int = 3, scale: int = 1_000_000,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_partitions: int | None = None):
+    """Top-k characteristic terms per document by integer-scaled TF-IDF:
+    ``score_e6 = tf · ((n_docs·scale) // df)`` (nonnegative floor division
+    — bit-identical in numpy and SQL), ties broken by term ascending.
+    The keyword-extraction / doc-descriptor stage of a text pipeline.
+
+    Scale shape: a batch-local (doc, term, tf) kernel (each doc lives in
+    one batch, so tf needs no shuffle), ONE term-keyed exchange where df
+    is the partition-local group size (tf rows are distinct per
+    (doc, term)), then the existing top-k-per-group combiner
+    (:func:`raydf.relops.topk_per_group` — ≤ k rows per doc per block
+    enter the final shuffle). ``n_docs`` is the corpus size (cheap
+    metadata count), passed in so the operator stays a pure Dataset
+    transform."""
+    import pyarrow as pa
+
+    from raydf.joins import partitioned_group_map
+    from raydf.relops import topk_per_group
+
+    word = re.compile(r"[a-z0-9]+")
+    idf_num = n_docs * scale
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(word)
+        counts = toks.map(len).to_numpy()
+        flat = toks.explode().dropna()
+        ids = np.repeat(df[id_col].to_numpy(np.int64), counts)
+        g = (
+            pd.DataFrame({"doc_id": ids, "term": flat.to_numpy(dtype=object)})
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return g.astype({"doc_id": np.int64, "tf": np.int64})
+
+    tf = docs.map_batches(tf_rows, batch_format="pandas")
+
+    def score(part: pd.DataFrame) -> pd.DataFrame:
+        dfc = part.groupby("term", sort=False)["term"].transform("size")
+        s = part["tf"].to_numpy(np.int64) * (idf_num // dfc.to_numpy(np.int64))
+        return pd.DataFrame(
+            {"doc_id": part["doc_id"].to_numpy(np.int64),
+             "term": part["term"].to_numpy(dtype=object),
+             "score_e6": s}
+        )
+
+    scored = partitioned_group_map(tf, ["term"], score, num_partitions=num_partitions)
+    return topk_per_group(
+        scored, ["doc_id"], "score_e6", k, tie_cols=["term"],
+        num_partitions=num_partitions,
+    )

@@ -448,3 +448,42 @@ def test_lang_id_extended_languages():
         .sort_values("doc_id")
     )
     assert out["lang_pred"].tolist() == ["it", "pt", "nl"]
+
+
+def test_tfidf_top_terms_matches_pandas_replica():
+    import re as _re
+
+    from raydf.datapipe.text import tfidf_top_terms
+
+    texts = [
+        "apple banana apple cherry",
+        "banana banana date",
+        "apple date date date elderberry",
+        "cherry cherry cherry banana",
+    ]
+    tbl = docs_table(texts)
+    n = len(texts)
+    # replica
+    word = _re.compile(r"[a-z0-9]+")
+    rows = []
+    tf = {}
+    for d, t in enumerate(texts):
+        for w in word.findall(t.lower()):
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    df = {}
+    for (d, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    exp = {}
+    for (d, w), c in tf.items():
+        exp.setdefault(d, []).append((-(c * ((n * 1_000_000) // df[w])), w))
+    expected = set()
+    for d, lst in exp.items():
+        for s, w in sorted(lst)[:3]:
+            expected.add((d, w, -s))
+
+    for blocks in (1, 3):
+        out = tfidf_top_terms(
+            rd.from_arrow(tbl).repartition(blocks), n_docs=n, k=3, num_partitions=3
+        ).to_pandas()
+        got = set(zip(out["doc_id"], out["term"], out["score_e6"]))
+        assert got == expected
