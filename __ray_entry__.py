@@ -1241,6 +1241,17 @@ def _tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(docs, n_docs=docs.count(), k=3)
 
 
+def _pq_codes(sf_dir: str):
+    """Product-quantization codes over the embeddings table (8 subspaces
+    × 16 codes, 2 exact-integer Lloyd iterations per subspace): the
+    compressed vector representation an IVF-PQ index stores. All
+    subspaces train in the same streaming passes."""
+    from raydf.datapipe.cluster import pq_encode
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pq_encode(emb, m=8, k=16, iters=2)
+
+
 def _cms_token_counts(sf_dir: str):
     """Mergeable Count-Min sketch of corpus token frequencies (4×1024,
     md5-rowed): exact-integer nonzero cells — the heavy-hitter sketch,
@@ -1372,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components_trade_graph": _components_trade_graph,
         "cms_token_counts": _cms_token_counts,
         "tfidf_top_terms": _tfidf_top_terms,
+        "pq_codes": _pq_codes,
     }
 
 
@@ -1457,6 +1469,55 @@ def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
           FROM nodes n LEFT JOIN c{i} c USING (node)
         )""")
     parts.append(f"\n        SELECT node, r AS rank_e12 FROM r{iters}")
+    return "".join(parts)
+
+
+def _pq_oracle_sql(m: int = 8, k: int = 16, iters: int = 2,
+                   dim: int = 64) -> str:
+    """DuckDB replica of the product-quantization train+encode path: the
+    kmeans oracle's arithmetic (quantize / integer distance / floor-mean /
+    coalesce-empty) with every CTE additionally grouped by subspace ``s``
+    — all m codebooks train in the same unrolled iterations."""
+    dsub = dim // m
+    parts = [f"""
+        WITH q AS (
+          SELECT vec_id, (i - 1) // {dsub} AS s, (i - 1) % {dsub} AS dl,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT) AS x
+          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ), c0 AS (
+          SELECT vec_id AS code, s, dl, x AS c FROM q WHERE vec_id < {k}
+        )"""]
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f""", {name} AS (
+          SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, code) AS rn
+            FROM (SELECT q.vec_id, q.s, c.code,
+                         SUM((q.x - c.c) * (q.x - c.c)) AS dist
+                  FROM q JOIN {cents} c ON c.s = q.s AND c.dl = q.dl
+                  GROUP BY q.vec_id, q.s, c.code))
+          WHERE rn = 1
+        )"""
+
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(assign_cte(f"a{i}", prev))
+        parts.append(f""", m{i} AS (
+          SELECT a.s, a.code, q.dl,
+                 CAST(floor(CAST(SUM(q.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+          FROM a{i} a JOIN q ON q.vec_id = a.vec_id AND q.s = a.s
+          GROUP BY a.s, a.code, q.dl
+        ), c{i} AS (
+          SELECT p.s, p.code, p.dl, COALESCE(m.c, p.c) AS c
+          FROM {prev} p LEFT JOIN m{i} m
+            ON m.s = p.s AND m.code = p.code AND m.dl = p.dl
+        )""")
+        prev = f"c{i}"
+    parts.append(assign_cte("afinal", prev))
+    parts.append("\n        SELECT vec_id, s, code FROM afinal")
     return "".join(parts)
 
 
@@ -2019,6 +2080,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_docs": _minhash_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(k=8, iters=2),
         "pagerank_trade_graph": _pagerank_oracle_sql(iters=3),
+        "pq_codes": _pq_oracle_sql(m=8, k=16, iters=2),
         "tfidf_top_terms": """
             WITH words AS (
               SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

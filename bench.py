@@ -115,6 +115,7 @@ _BENCH_QUERIES = [
     "components_trade_graph",
     "cms_token_counts",
     "tfidf_top_terms",
+    "pq_codes",
 ]
 
 

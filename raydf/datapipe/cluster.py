@@ -134,3 +134,92 @@ def kmeans_assign(embeds, *, k: int = 8, iters: int = 2,
         )
 
     return embeds.map_batches(label, batch_format="pyarrow")
+
+
+# ------------------------------------------------- product quantization
+
+
+def pq_encode(embeds, *, m: int = 8, k: int = 16, iters: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Product-quantization codes: split each vector into ``m`` contiguous
+    subspaces, run the same exact-integer Lloyd as :func:`kmeans_assign`
+    independently per subspace (``k`` codes each), and emit one
+    ``(vec_id, s, code)`` row per subspace — the compressed representation
+    an IVF-PQ index stores (codes are m·log2(k) bits per vector vs d·32).
+
+    All subspaces train in the SAME streaming passes: one broadcast of the
+    (m, k, d/m) codebook tensor per iteration, per-batch integer-matmul
+    assignments per subspace, (m·k) partial rows per block to the driver
+    reduce. Deterministic contract identical to kmeans_assign (quantized
+    int64, floor-division updates, first-argmin tie-break, seeds = the
+    vectors of ids 0..k-1 sliced per subspace), so the whole train+encode
+    path unrolls into a SQL oracle grouped by subspace."""
+    import pyarrow.compute as pc
+
+    seed = embeds.map_batches(
+        lambda t: t.filter(pc.less(t[id_col], k)), batch_format="pyarrow"
+    ).to_pandas().sort_values(id_col)
+    assert len(seed) == k, f"ids 0..{k-1} must exist for deterministic init"
+    full = quantize(np.stack(seed[vec_col].to_numpy()))
+    dim = full.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    dsub = dim // m
+    cents = full.reshape(k, m, dsub).transpose(1, 0, 2).copy()  # (m, k, dsub)
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            x = quantize(_batch_matrix(batch, vec_col)).reshape(-1, m, dsub)
+            ss, codes, counts, sums = [], [], [], []
+            for s in range(m):
+                lab = assign(x[:, s, :], c[s])
+                cnt = np.bincount(lab, minlength=k).astype(np.int64)
+                sm = np.zeros((k, dsub), np.int64)
+                np.add.at(sm, lab, x[:, s, :])
+                ss.append(np.full(k, s, np.int64))
+                codes.append(np.arange(k, dtype=np.int64))
+                counts.append(cnt)
+                sums.append(sm)
+            return pa.table(
+                {
+                    "s": pa.array(np.concatenate(ss), pa.int64()),
+                    "code": pa.array(np.concatenate(codes), pa.int64()),
+                    "n": pa.array(np.concatenate(counts), pa.int64()),
+                    "sum": pa.array(list(np.concatenate(sums)), pa.list_(pa.int64())),
+                }
+            )
+
+        p = embeds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        counts = np.zeros((m, k), np.int64)
+        sums = np.zeros((m, k, dsub), np.int64)
+        for s, code, n, sm in zip(p["s"], p["code"], p["n"], p["sum"]):
+            counts[s, code] += n
+            sums[s, code] += np.asarray(sm, np.int64)
+        new = cents.copy()  # empty codes keep their previous centroid
+        nz = counts > 0
+        new[nz] = np.floor_divide(sums[nz], counts[nz, None])
+        cents = new
+
+    ref = ray.put(cents)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = quantize(_batch_matrix(batch, vec_col)).reshape(-1, m, dsub)
+        n = x.shape[0]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_ids = np.repeat(ids, m)
+        out_s = np.tile(np.arange(m, dtype=np.int64), n)
+        codes = np.empty((n, m), np.int64)
+        for s in range(m):
+            codes[:, s] = assign(x[:, s, :], c[s])
+        return pa.table(
+            {
+                id_col: pa.array(out_ids.astype(np.int64), pa.int64()),
+                "s": pa.array(out_s, pa.int64()),
+                "code": pa.array(codes.reshape(-1), pa.int64()),
+            }
+        )
+
+    return embeds.map_batches(encode, batch_format="pyarrow")

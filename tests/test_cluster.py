@@ -86,3 +86,80 @@ def test_kmeans_negative_coordinates_floor_division():
         .to_numpy()
     )
     assert (out == replica(vecs, k=3, iters=3)).all()
+
+
+def pq_replica(vecs: np.ndarray, m: int, k: int, iters: int) -> np.ndarray:
+    """(n, m) code matrix via the module's exact contract, per subspace."""
+    x = cluster.quantize(vecs.astype(np.float32))
+    n, dim = x.shape
+    dsub = dim // m
+    xs = x.reshape(n, m, dsub)
+    codes = np.empty((n, m), np.int64)
+    for s in range(m):
+        sub = xs[:, s, :]
+        cents = sub[:k].copy()
+        for _ in range(iters):
+            lab = cluster.assign(sub, cents)
+            new = cents.copy()
+            for c in range(k):
+                msk = lab == c
+                if msk.any():
+                    new[c] = np.floor_divide(sub[msk].sum(axis=0), msk.sum())
+            cents = new
+        codes[:, s] = cluster.assign(sub, cents)
+    return codes
+
+
+def test_pq_encode_matches_replica_and_block_invariant():
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(80, 16))
+    exp = pq_replica(vecs, m=4, k=8, iters=2)
+    for blocks in (1, 5):
+        out = (
+            cluster.pq_encode(
+                rd.from_arrow(emb_table(vecs)).repartition(blocks), m=4, k=8, iters=2
+            )
+            .to_pandas()
+            .sort_values(["vec_id", "s"])
+        )
+        got = out["code"].to_numpy().reshape(80, 4)
+        assert (got == exp).all()
+
+
+def test_pq_codes_reconstruct_better_than_permuted():
+    # encoding must beat a code shuffle: reconstruction error from each
+    # vector's own codes is below the error from another vector's codes
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(60, 16)) + np.repeat(
+        rng.normal(scale=3.0, size=(6, 16)), 10, axis=0
+    )  # clustered structure so codes carry signal
+    m, k = 4, 8
+    x = cluster.quantize(vecs.astype(np.float32)).reshape(60, m, -1)
+    out = (
+        cluster.pq_encode(rd.from_arrow(emb_table(vecs)), m=m, k=k, iters=2)
+        .to_pandas()
+        .sort_values(["vec_id", "s"])
+    )
+    codes = out["code"].to_numpy().reshape(60, m)
+    # rebuild the trained codebook the same way the replica does
+    exp_codes = pq_replica(vecs, m=m, k=k, iters=2)
+    assert (codes == exp_codes).all()
+    # centroid table per subspace from the replica path
+    xs = cluster.quantize(vecs.astype(np.float32)).reshape(60, m, -1)
+    err_own = 0
+    err_perm = 0
+    perm = np.roll(np.arange(60), 7)
+    for s in range(m):
+        sub = xs[:, s, :]
+        cents = sub[:k].copy()
+        for _ in range(2):
+            lab = cluster.assign(sub, cents)
+            new = cents.copy()
+            for c in range(k):
+                msk = lab == c
+                if msk.any():
+                    new[c] = np.floor_divide(sub[msk].sum(axis=0), msk.sum())
+            cents = new
+        err_own += ((sub - cents[codes[:, s]]) ** 2).sum()
+        err_perm += ((sub - cents[codes[perm, s]]) ** 2).sum()
+    assert err_own < err_perm
