@@ -1188,7 +1188,7 @@ def _pagerank_trade_graph(sf_dir: str):
 
 def _components_trade_graph(sf_dir: str):
     """Undirected connected components of the SPARSE trade graph
-    (customer↔supplier edges with ≥4 shared orders — the threshold keeps
+    (customer↔supplier edges with ≥3 shared orders — the threshold keeps
     the graph fragmented so components are non-trivial). Component id =
     min node id, via the engine's Eq-merge label propagation."""
     from raydf import joins
@@ -1206,7 +1206,7 @@ def _components_trade_graph(sf_dir: str):
             .groupby(["cust", "l_suppkey"], sort=False)
             .size()
         )
-        g = g[g >= 4]
+        g = g[g >= 3]
         idx = g.index.to_frame(index=False)
         return pd.DataFrame(
             {
@@ -2115,7 +2115,7 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE pair AS (
               SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
               FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-              GROUP BY 1, 2 HAVING COUNT(DISTINCT o_orderkey) >= 4
+              GROUP BY 1, 2 HAVING COUNT(DISTINCT o_orderkey) >= 3
             ), e AS (
               SELECT c AS a, s AS b FROM pair UNION ALL SELECT s, c FROM pair
             ), nodes AS (
