@@ -1252,6 +1252,16 @@ def _pq_codes(sf_dir: str):
     return pq_encode(emb, m=8, k=16, iters=2)
 
 
+def _bloom_user_filter(sf_dir: str):
+    """Mergeable Bloom filter (2×16384 md5 bits) over the distinct event
+    user ids, emitted as exact set-bit rows — the membership pre-filter a
+    pipeline ships instead of the key set itself."""
+    from raydf.datapipe.sketch import bloom_build
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    return bloom_build(ev, "user_id")
+
+
 def _cms_token_counts(sf_dir: str):
     """Mergeable Count-Min sketch of corpus token frequencies (4×1024,
     md5-rowed): exact-integer nonzero cells — the heavy-hitter sketch,
@@ -1384,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counts": _cms_token_counts,
         "tfidf_top_terms": _tfidf_top_terms,
         "pq_codes": _pq_codes,
+        "bloom_user_filter": _bloom_user_filter,
     }
 
 
@@ -2097,6 +2108,15 @@ def oracle_sql() -> dict[str, str]:
             FROM tf t JOIN df d USING (term)
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY t.doc_id ORDER BY score_e6 DESC, t.term) <= 3
+        """,
+        "bloom_user_filter": """
+            WITH vals AS (
+              SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
+            )
+            SELECT DISTINCT CAST(d AS BIGINT) AS d,
+                   CAST(CAST(md5_number_lower(CAST(d AS VARCHAR) || ':' || v)
+                             AS HUGEINT) % 16384 AS BIGINT) AS bit
+            FROM vals, UNNEST(range(0, 2)) AS t(d)
         """,
         "cms_token_counts": """
             WITH toks AS (

@@ -116,6 +116,7 @@ _BENCH_QUERIES = [
     "cms_token_counts",
     "tfidf_top_terms",
     "pq_codes",
+    "bloom_user_filter",
 ]
 
 

@@ -359,3 +359,68 @@ def cms_token_counts(docs, *, text_col: str = "text",
     from raydf.joins import partitioned_group_map
 
     return partitioned_group_map(partials, ["d", "w"], total, num_partitions=8)
+
+
+# ---------------------------------------------------------- Bloom filter
+
+BLOOM_BITS = 1 << 14
+BLOOM_HASHES = 2
+
+
+def bloom_bits(values: np.ndarray, *, n_hashes: int = BLOOM_HASHES,
+               n_bits: int = BLOOM_BITS) -> np.ndarray:
+    """(n_hashes, len(values)) bit-index matrix: row d hashes
+    ``"{d}:{v}"`` with md5 mod n_bits — the same d-prefixed independent-
+    row contract as the Count-Min sketch, so every set bit is
+    recomputable by a SQL oracle."""
+    from raydf.datapipe.dedup import md5_u64
+
+    return np.stack(
+        [
+            (md5_u64(np.array([f"{d}:{v}" for v in values], dtype=object))
+             % np.uint64(n_bits)).astype(np.int64)
+            for d in range(n_hashes)
+        ]
+    )
+
+
+def bloom_build(ds, value_col: str, *, n_hashes: int = BLOOM_HASHES,
+                n_bits: int = BLOOM_BITS):
+    """Mergeable Bloom filter over a column, emitted as the exact set-bit
+    rows ``(d, bit)`` (distinct) — the membership sketch a pipeline ships
+    to cheaply pre-filter against a huge key set (seen-URL / known-hash
+    suppression) without shuffling the keys themselves.
+
+    Combiner shape: each batch dedups its values, hashes the uniques and
+    emits its local set-bit rows (≤ n_hashes·n_bits per block); one
+    sketch-sized distinct merges blocks — union IS the Bloom merge."""
+    import pyarrow as pa
+
+    from raydf.joins import distinct
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        vals = np.unique(df[value_col].astype(str).to_numpy(dtype=object))
+        if len(vals) == 0:
+            return pd.DataFrame({"d": pd.Series([], dtype=np.int64),
+                                 "bit": pd.Series([], dtype=np.int64)})
+        b = bloom_bits(vals, n_hashes=n_hashes, n_bits=n_bits)
+        out = pd.DataFrame(
+            {"d": np.repeat(np.arange(n_hashes, dtype=np.int64), b.shape[1]),
+             "bit": b.reshape(-1)}
+        )
+        return out.drop_duplicates()
+
+    partials = ds.map_batches(local, batch_format="pandas", batch_size=65536)
+    return distinct(partials, ["d", "bit"], num_partitions=8)
+
+
+def bloom_contains(state: pd.DataFrame, values, *, n_hashes: int = BLOOM_HASHES,
+                   n_bits: int = BLOOM_BITS) -> np.ndarray:
+    """Probe the sketch: True iff EVERY row's bit is set (may false-
+    positive at the standard (1-e^{-kn/m})^k rate, never false-negative).
+    ``state``: (d, bit) frame as produced by :func:`bloom_build`."""
+    cells = np.zeros((n_hashes, n_bits), bool)
+    cells[state["d"].to_numpy(np.int64), state["bit"].to_numpy(np.int64)] = True
+    b = bloom_bits(np.asarray(values, dtype=object), n_hashes=n_hashes,
+                   n_bits=n_bits)
+    return cells[np.arange(n_hashes)[:, None], b].all(axis=0)

@@ -163,3 +163,33 @@ def test_cms_state_batch_invariant_and_estimates():
     # classic error bound: overshoot ≤ e/width · N with prob 1-e^-depth;
     # deterministic fixture comfortably inside it
     assert (est - exact).max() <= np.e / 1024 * n_total * 4
+
+
+# ---------------------------------------------------------- Bloom filter
+
+
+def test_bloom_no_false_negatives_and_block_invariant():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydf.datapipe.sketch import bloom_build, bloom_contains
+
+    members = [f"user{i}" for i in range(500)]
+    tbl = pa.table({"u": pa.array(members * 3, pa.string())})  # duplicates fold
+    states = []
+    for blocks in (1, 6):
+        st = (
+            bloom_build(rd.from_arrow(tbl).repartition(blocks), "u")
+            .to_pandas()
+            .sort_values(["d", "bit"])
+            .reset_index(drop=True)
+        )
+        states.append(st)
+    assert states[0].equals(states[1])  # union merge is block-invariant
+
+    st = states[0]
+    assert bloom_contains(st, np.array(members, dtype=object)).all()  # no FN
+    probes = np.array([f"absent{i}" for i in range(2000)], dtype=object)
+    fpr = bloom_contains(st, probes).mean()
+    # k=2, n=500, m=16384 → (1-e^{-kn/m})^k ≈ 0.0035; allow generous slack
+    assert fpr < 0.02
