@@ -1402,9 +1402,10 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
     """DuckDB replica of the exact-integer Lloyd k-means: quantization
     (floor(x*1e6+0.5) in float64 — IEEE-identical to the kernel), integer
     squared distances with smaller-cluster-id tie-break, floor-division
-    centroid updates (floor(s/n), matching numpy floor_divide — NOT
-    DuckDB's truncating //), empty clusters keeping the previous
-    centroid. Each iteration is one assign+means+coalesce CTE triple,
+    centroid updates matching numpy floor_divide exactly (DuckDB's ``//``
+    truncates toward zero, so a CASE adjusts negative sums — pure HUGEINT
+    arithmetic, no DOUBLE precision ceiling), empty clusters keeping the
+    previous centroid. Each iteration is one assign+means+coalesce CTE triple,
     unrolled ``iters`` times, then a final assignment."""
     parts = [f"""
         WITH q AS (
@@ -1433,8 +1434,12 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
     for i in range(1, iters + 1):
         parts.append(assign_cte(f"a{i}", prev))
         parts.append(f""", m{i} AS (
+          -- exact floor division in HUGEINT (DuckDB // truncates toward 0;
+          -- the CASE adjusts negatives) — no 2^53 DOUBLE precision ceiling
           SELECT a.cluster, q.d,
-                 CAST(floor(CAST(SUM(q.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+                 CAST(SUM(q.x) // COUNT(*)
+                      - CASE WHEN SUM(q.x) % COUNT(*) <> 0 AND SUM(q.x) < 0
+                             THEN 1 ELSE 0 END AS BIGINT) AS c
           FROM a{i} a JOIN q USING (vec_id) GROUP BY a.cluster, q.d
         ), c{i} AS (
           SELECT p.cluster, p.d, COALESCE(m.c, p.c) AS c
@@ -1517,8 +1522,11 @@ def _pq_oracle_sql(m: int = 8, k: int = 16, iters: int = 2,
     for i in range(1, iters + 1):
         parts.append(assign_cte(f"a{i}", prev))
         parts.append(f""", m{i} AS (
+          -- exact HUGEINT floor division (see _kmeans_oracle_sql)
           SELECT a.s, a.code, q.dl,
-                 CAST(floor(CAST(SUM(q.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+                 CAST(SUM(q.x) // COUNT(*)
+                      - CASE WHEN SUM(q.x) % COUNT(*) <> 0 AND SUM(q.x) < 0
+                             THEN 1 ELSE 0 END AS BIGINT) AS c
           FROM a{i} a JOIN q ON q.vec_id = a.vec_id AND q.s = a.s
           GROUP BY a.s, a.code, q.dl
         ), c{i} AS (

@@ -18,10 +18,10 @@ Determinism contract (what makes it oracle-checkable):
 * distances are integer: ``Σ_d (x_e6 - c_e6)²`` fits int64 comfortably
   ((4·10¹²)·dim per term pair); argmin ties break on the smaller cluster
   id;
-* centroid update is integer floor division ``floor(Σ x_e6 / n)`` —
-  numpy ``floor_divide`` == SQL ``floor(s/n)`` (NOT DuckDB's ``//``,
-  which truncates toward zero); empty clusters keep their previous
-  centroid.
+* centroid update is integer floor division ``Σ x_e6 // n`` — numpy
+  ``floor_divide``; DuckDB's ``//`` truncates toward zero, so the oracle
+  adjusts negative sums with a CASE (exact HUGEINT arithmetic, no DOUBLE
+  2^53 ceiling); empty clusters keep their previous centroid.
 
 Scale shape: centroids are a k×d int64 array broadcast via ``ray.put``
 once per iteration; each ``map_batches`` task computes assignments with
@@ -154,13 +154,7 @@ def pq_encode(embeds, *, m: int = 8, k: int = 16, iters: int = 2,
     int64, floor-division updates, first-argmin tie-break, seeds = the
     vectors of ids 0..k-1 sliced per subspace), so the whole train+encode
     path unrolls into a SQL oracle grouped by subspace."""
-    import pyarrow.compute as pc
-
-    seed = embeds.map_batches(
-        lambda t: t.filter(pc.less(t[id_col], k)), batch_format="pyarrow"
-    ).to_pandas().sort_values(id_col)
-    assert len(seed) == k, f"ids 0..{k-1} must exist for deterministic init"
-    full = quantize(np.stack(seed[vec_col].to_numpy()))
+    full = _init_centroids(embeds, k, id_col=id_col, vec_col=vec_col)
     dim = full.shape[1]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     dsub = dim // m

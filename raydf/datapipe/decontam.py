@@ -46,29 +46,20 @@ _WORD_RE = r"[a-z0-9]+"
 
 def make_ngram_fn(n: int, *, text_col: str = "text", id_col: str = "doc_id"):
     """Batch kernel: documents table → (doc_id, gram) rows, one per
-    DISTINCT n-gram per document."""
+    DISTINCT n-gram per document.
+
+    Delegates the windowing to the ONE shared positional n-gram kernel
+    (:func:`raydf.datapipe.spans.make_ngram_pos_fn` — same tokenization
+    contract, position column dropped, per-doc distinct applied here) so
+    a tokenization/boundary fix lands in every gram consumer at once."""
     assert n >= 1
+    from raydf.datapipe.spans import make_ngram_pos_fn
+
+    pos_fn = make_ngram_pos_fn(n, text_col=text_col, id_col=id_col)
 
     def f(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        texts = pd.Series(batch[text_col].to_pylist())
-        words = texts.str.lower().str.findall(_WORD_RE)
-        counts = words.map(len).to_numpy()
-        flat = words.explode(ignore_index=True).dropna()
-        toks = flat.to_numpy(dtype=object)
-        doc_of = np.repeat(np.arange(len(ids)), counts)
-        m = len(toks) - n + 1
-        if m <= 0:
-            return pa.table(
-                {id_col: pa.array([], pa.int64()), "gram": pa.array([], pa.string())}
-            )
-        # windows that stay inside one document: first and last token of
-        # the window belong to the same row
-        same = doc_of[: m] == doc_of[n - 1:]
-        gram = pd.Series(toks[:m])
-        for i in range(1, n):
-            gram = gram + " " + pd.Series(toks[i : m + i])
-        out = pd.DataFrame({id_col: ids[doc_of[:m]], "gram": gram})[same]
+        t = pos_fn(batch)
+        out = t.select([id_col, "gram"]).to_pandas()
         out = out[~out.duplicated()]
         return pa.table(
             {

@@ -59,7 +59,7 @@ def make_ngram_pos_fn(n: int, *, text_col: str = "text", id_col: str = "doc_id")
 
     def f(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        texts = pd.Series(batch[text_col].to_pylist())
+        texts = pd.Series(batch[text_col].to_pylist()).fillna("")
         words = texts.str.lower().str.findall(_WORD_RE)
         counts = words.map(len).to_numpy()
         flat = words.explode(ignore_index=True).dropna()
@@ -107,7 +107,8 @@ def ngram_pos_rows(docs, n: int = 4, *, text_col: str = "text", id_col: str = "d
     )
 
 
-def dup_span_stats(docs, *, n: int = 4, num_partitions: int | None = None):
+def dup_span_stats(docs, *, n: int = 4, num_partitions: int | None = None,
+                   text_col: str = "text", id_col: str = "doc_id"):
     """Per-document cross-corpus duplication score: Dataset of
     ``(doc_id, n_spans, n_dup_spans)`` where ``n_spans`` counts the doc's
     DISTINCT word n-grams and ``n_dup_spans`` those of them that also
@@ -117,22 +118,22 @@ def dup_span_stats(docs, *, n: int = 4, num_partitions: int | None = None):
     A training pipeline thresholds ``n_dup_spans / n_spans`` to drop or
     route heavily-duplicated documents before the (more expensive) scrub.
     """
-    grams = ngram_pos_rows(docs, n)
+    grams = ngram_pos_rows(docs, n, text_col=text_col, id_col=id_col)
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
-        out = {"doc_id": pd.Series([], dtype=np.int64),
+        out = {id_col: pd.Series([], dtype=np.int64),
                "n_spans_p": pd.Series([], dtype=np.int64),
                "n_dup_p": pd.Series([], dtype=np.int64)}
         if len(df) == 0:
             return pd.DataFrame(out)
-        dg = df[["doc_id", "gram"]].drop_duplicates()
-        per_gram = dg.groupby("gram", sort=False)["doc_id"].transform("size")
+        dg = df[[id_col, "gram"]].drop_duplicates()
+        per_gram = dg.groupby("gram", sort=False)[id_col].transform("size")
         dup = dg[per_gram.to_numpy() >= 2]
-        t = dg.groupby("doc_id", sort=False).size()
-        d = dup.groupby("doc_id", sort=False).size().reindex(t.index, fill_value=0)
+        t = dg.groupby(id_col, sort=False).size()
+        d = dup.groupby(id_col, sort=False).size().reindex(t.index, fill_value=0)
         return pd.DataFrame(
             {
-                "doc_id": t.index.to_numpy(np.int64),
+                id_col: t.index.to_numpy(np.int64),
                 "n_spans_p": t.to_numpy(np.int64),
                 "n_dup_p": d.to_numpy(np.int64),
             }
@@ -141,21 +142,22 @@ def dup_span_stats(docs, *, n: int = 4, num_partitions: int | None = None):
     p = partitioned_group_map(grams, ["gram"], partials, num_partitions=num_partitions)
 
     def total(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("doc_id", sort=False)[["n_spans_p", "n_dup_p"]].sum()
+        g = df.groupby(id_col, sort=False)[["n_spans_p", "n_dup_p"]].sum()
         return pd.DataFrame(
             {
-                "doc_id": g.index.to_numpy(np.int64),
+                id_col: g.index.to_numpy(np.int64),
                 "n_spans": g["n_spans_p"].to_numpy(np.int64),
                 "n_dup_spans": g["n_dup_p"].to_numpy(np.int64),
             }
         )
 
     # partials are tiny (≤ docs × partitions rows); small second shuffle
-    return partitioned_group_map(p, ["doc_id"], total, num_partitions=8)
+    return partitioned_group_map(p, [id_col], total, num_partitions=8)
 
 
 def dup_span_covered(docs, *, n: int = 4, num_partitions: int | None = None,
-                     distinct: bool = True):
+                     distinct: bool = True, text_col: str = "text",
+                     id_col: str = "doc_id"):
     """Dataset of ``(doc_id, pos)`` — every word position covered by at
     least one cross-document duplicated n-gram span. Intermediate of
     :func:`scrub_dup_spans`, exposed for pipelines that only need the
@@ -166,22 +168,22 @@ def dup_span_covered(docs, *, n: int = 4, num_partitions: int | None = None,
     ``distinct=True`` (default) adds one bucketed distinct. Consumers that
     re-partition by doc anyway (the scrub) pass ``distinct=False`` and
     dedup in their own partition — one shuffle instead of two."""
-    grams = ngram_pos_rows(docs, n)
+    grams = ngram_pos_rows(docs, n, text_col=text_col, id_col=id_col)
 
     def dup_occurrences(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
                                  "pos": pd.Series([], dtype=np.int64)})
-        nd = df.groupby("gram", sort=False)["doc_id"].transform("nunique")
+        nd = df.groupby("gram", sort=False)[id_col].transform("nunique")
         hit = df[nd.to_numpy() >= 2]
         # expand each span start to its n covered word positions, then
         # dedup — overlapping spans of one doc collapse here, inside the
         # partition, before anything is shuffled again
-        ids = np.repeat(hit["doc_id"].to_numpy(np.int64), n)
+        ids = np.repeat(hit[id_col].to_numpy(np.int64), n)
         pos = np.repeat(hit["pos"].to_numpy(np.int64), n) + np.tile(
             np.arange(n, dtype=np.int64), len(hit)
         )
-        out = pd.DataFrame({"doc_id": ids, "pos": pos}).drop_duplicates()
+        out = pd.DataFrame({id_col: ids, "pos": pos}).drop_duplicates()
         return out.reset_index(drop=True)
 
     out = partitioned_group_map(
@@ -190,7 +192,10 @@ def dup_span_covered(docs, *, n: int = 4, num_partitions: int | None = None,
     if distinct:
         from raydf import joins
 
-        out = joins.distinct(out, ["doc_id", "pos"], num_partitions=8)
+        # covered rows are corpus-sized on heavily-duplicated corpora —
+        # size the distinct like the gram shuffle, not a fixed count
+        out = joins.distinct(out, [id_col, "pos"], num_partitions=num_partitions
+                             if num_partitions is not None else 32)
     return out
 
 
@@ -208,19 +213,25 @@ def scrub_dup_spans(docs, *, n: int = 4, num_partitions: int | None = None,
     text) → ONE two-sided doc_id shuffle with the documents table; the
     full text crosses the exchange once and is rebuilt in-partition."""
     covered = dup_span_covered(docs, n=n, num_partitions=num_partitions,
-                               distinct=False)  # rebuild dedups per doc partition
+                               distinct=False,  # rebuild dedups per doc partition
+                               text_col=text_col, id_col=id_col)
     doc_text = docs.select_columns([id_col, text_col])
 
     def rebuild(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        # l: covered (doc_id, pos); r: documents (doc_id, text)
+        # l: covered (id, pos); r: documents (id, text)
         if len(r) == 0:
             return pd.DataFrame({
-                "doc_id": pd.Series([], dtype=np.int64),
+                id_col: pd.Series([], dtype=np.int64),
                 "n_words": pd.Series([], dtype=np.int64),
                 "n_removed": pd.Series([], dtype=np.int64),
                 "clean_md5": pd.Series([], dtype=object),
             })
-        words = pd.Series(r[text_col].to_numpy()).str.lower().str.findall(_WORD_RE)
+        words = (
+            pd.Series(r[text_col].to_numpy())
+            .fillna("")
+            .str.lower()
+            .str.findall(_WORD_RE)
+        )
         ids = r[id_col].to_numpy(np.int64)
         counts = words.map(len).to_numpy()
         toks = words.explode(ignore_index=True).dropna().to_numpy(dtype=object)
@@ -253,7 +264,7 @@ def scrub_dup_spans(docs, *, n: int = 4, num_partitions: int | None = None,
         )
         md5s = [hashlib.md5(s.encode()).hexdigest() for s in joined]
         return pd.DataFrame(
-            {"doc_id": ids, "n_words": counts.astype(np.int64),
+            {id_col: ids, "n_words": counts.astype(np.int64),
              "n_removed": removed, "clean_md5": md5s}
         )
 
@@ -261,7 +272,7 @@ def scrub_dup_spans(docs, *, n: int = 4, num_partitions: int | None = None,
         covered, doc_text, [id_col], rebuild,
         num_partitions=num_partitions,
         out_schema_fn=lambda ls, rs: pa.schema(
-            [pa.field("doc_id", pa.int64()), pa.field("n_words", pa.int64()),
+            [pa.field(id_col, pa.int64()), pa.field("n_words", pa.int64()),
              pa.field("n_removed", pa.int64()), pa.field("clean_md5", pa.string())]
         ),
     )

@@ -281,7 +281,17 @@ def tfidf_top_terms(docs, n_docs: int, *, k: int = 3, scale: int = 1_000_000,
 
     def score(part: pd.DataFrame) -> pd.DataFrame:
         dfc = part.groupby("term", sort=False)["term"].transform("size")
-        s = part["tf"].to_numpy(np.int64) * (idf_num // dfc.to_numpy(np.int64))
+        tfv = part["tf"].to_numpy(np.int64)
+        idf = idf_num // dfc.to_numpy(np.int64)
+        with np.errstate(over="ignore"):
+            s = tfv * idf
+        if len(s) and ((idf != 0) & (s // np.where(idf == 0, 1, idf) != tfv)).any():
+            # fail loud instead of numpy's silent int64 wraparound (the
+            # SQL oracle would error on BIGINT overflow, not wrap)
+            raise OverflowError(
+                "tf*idf exceeds int64 — lower `scale` or shard the corpus "
+                f"(n_docs={n_docs}, max tf={int(tfv.max())})"
+            )
         return pd.DataFrame(
             {"doc_id": part["doc_id"].to_numpy(np.int64),
              "term": part["term"].to_numpy(dtype=object),

@@ -59,7 +59,7 @@ SCALE = 10**12
 BROADCAST_NODES = int(os.environ.get("RAYDF_PAGERANK_BROADCAST_NODES", 2_000_000))
 
 
-def _node_union(edges):
+def _node_union(edges, num_partitions: int | None = None):
     def srcs(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["src"]})
 
@@ -69,7 +69,10 @@ def _node_union(edges):
     u = edges.map_batches(srcs, batch_format="pyarrow").union(
         edges.map_batches(dsts, batch_format="pyarrow")
     )
-    return joins.distinct(u, ["node"], num_partitions=8)
+    # CPU-scaled default (not a fixed small count): the node-set distinct
+    # sees 2× the edge rows, which is the big input on huge graphs
+    P = num_partitions if num_partitions is not None else joins.default_partitions()
+    return joins.distinct(u, ["node"], num_partitions=P)
 
 
 def pagerank(edges, *, iters: int = 3, scale: int = SCALE,
@@ -85,7 +88,7 @@ def pagerank(edges, *, iters: int = 3, scale: int = SCALE,
     # multi-exchange) edge-build pipeline. A/B at sf0.1 trade graph:
     # lazy edges 32.2 s end-to-end vs materialized 10.5 s
     edges = edges.materialize()
-    nodes = _node_union(edges).materialize()
+    nodes = _node_union(edges, num_partitions).materialize()
     n_nodes = nodes.count()
     assert n_nodes > 0, "pagerank over an empty edge set"
     r0 = scale // n_nodes
@@ -103,12 +106,26 @@ def pagerank(edges, *, iters: int = 3, scale: int = SCALE,
 def _pagerank_broadcast(edges, nodes, n_nodes: int, r0: int, base: int,
                         iters: int):
     """Rank/outdeg vectors broadcast once per iteration; one streaming
-    pass over edges per iteration with per-batch partial dst-sums."""
+    pass over edges per iteration with per-batch partial dst-sums. The
+    driver reduce streams the partials batch-by-batch into the node
+    vector (O(N + one batch) memory); on very DENSE graphs (many edge
+    blocks each touching most nodes) the reduce is still O(blocks × N)
+    driver TIME per iteration — lower ``broadcast_nodes`` to route such
+    graphs to the partitioned path."""
     node_ids = np.sort(
         nodes.to_pandas()["node"].to_numpy(np.int64)
     )  # node-sized driver vector — guarded by the broadcast_nodes bound
 
-    # outdeg: per-batch src value_counts partials → driver sum (no shuffle)
+    def _accumulate(partials_ds, vec: np.ndarray, val_col: str) -> None:
+        # stream the per-block partials into the node vector one batch at
+        # a time — each block can emit up to N rows, so a to_pandas()
+        # collect would be O(blocks × N) driver memory on dense graphs;
+        # this keeps it O(N + one batch)
+        for b in partials_ds.iter_batches(batch_format="pyarrow"):
+            idx = np.searchsorted(node_ids, b["node"].to_numpy(zero_copy_only=False))
+            np.add.at(vec, idx, b[val_col].to_numpy(zero_copy_only=False))
+
+    # outdeg: per-batch src value_counts partials → streamed driver sum
     def deg_partials(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
         u, c = np.unique(src, return_counts=True)
@@ -117,10 +134,9 @@ def _pagerank_broadcast(edges, nodes, n_nodes: int, r0: int, base: int,
              "n": pa.array(c.astype(np.int64), pa.int64())}
         )
 
-    dp = edges.map_batches(deg_partials, batch_format="pyarrow").to_pandas()
     outdeg = np.zeros(n_nodes, np.int64)
-    idx = np.searchsorted(node_ids, dp["node"].to_numpy(np.int64))
-    np.add.at(outdeg, idx, dp["n"].to_numpy(np.int64))
+    _accumulate(edges.map_batches(deg_partials, batch_format="pyarrow"),
+                outdeg, "n")
 
     ranks = np.full(n_nodes, r0, np.int64)
     ids_ref = ray.put(node_ids)
@@ -142,10 +158,9 @@ def _pagerank_broadcast(edges, nodes, n_nodes: int, r0: int, base: int,
                  "c": pa.array(g.to_numpy(np.int64), pa.int64())}
             )
 
-        p = edges.map_batches(contrib_partials, batch_format="pyarrow").to_pandas()
         contrib = np.zeros(n_nodes, np.int64)
-        di = np.searchsorted(node_ids, p["node"].to_numpy(np.int64))
-        np.add.at(contrib, di, p["c"].to_numpy(np.int64))
+        _accumulate(edges.map_batches(contrib_partials, batch_format="pyarrow"),
+                    contrib, "c")
         ranks = base + (85 * contrib) // 100
 
     return rd.from_arrow(
@@ -181,7 +196,7 @@ def connected_components(edges, *, num_partitions: int | None = None):
         batch_format="pyarrow",
     )
     mapping = canonical_mapping(pairs)  # driver frame, merged nodes only
-    nodes = _node_union(edges)
+    nodes = _node_union(edges, num_partitions)
     mp_ref = ray.put(
         (np.sort(np.empty(0, np.int64)), np.empty(0, np.int64))
         if len(mapping) == 0
