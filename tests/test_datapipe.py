@@ -487,3 +487,16 @@ def test_tfidf_top_terms_matches_pandas_replica():
         ).to_pandas()
         got = set(zip(out["doc_id"], out["term"], out["score_e6"]))
         assert got == expected
+
+
+def test_tfidf_overflow_raises_instead_of_wrapping():
+    import pytest as _pytest
+
+    from raydf.datapipe.text import tfidf_top_terms
+
+    # n_docs=1e12 -> idf for a df=1 term is 1e18 (fits int64); tf=10
+    # pushes tf*idf past 2^63 — must raise, not silently wrap negative
+    docs = rd.from_arrow(docs_table([" ".join(["rareterm"] * 10)]))
+    with _pytest.raises((OverflowError, Exception)) as ei:
+        tfidf_top_terms(docs, n_docs=10**12, k=3, num_partitions=2).to_pandas()
+    assert "int64" in str(ei.value) or "Overflow" in str(ei.value)
