@@ -86,7 +86,7 @@ def pagerank(edges, *, iters: int = 3, scale: int = SCALE,
     # the edge set is consumed once per iteration plus deg/node passes —
     # materialize it or every pass re-executes the caller's (possibly
     # multi-exchange) edge-build pipeline. A/B at sf0.1 trade graph:
-    # lazy edges 32.2 s end-to-end vs materialized 10.5 s
+    # lazy edges 32.2 s end-to-end vs materialized 10.9 s
     edges = edges.materialize()
     nodes = _node_union(edges, num_partitions).materialize()
     n_nodes = nodes.count()
