@@ -1252,6 +1252,58 @@ def _pq_codes(sf_dir: str):
     return pq_encode(emb, m=8, k=16, iters=2)
 
 
+def _q_events_customers_outer(sf_dir: str):
+    """FULL OUTER join of per-actor event counts with the customer table
+    (actor id = user_id·11, a deterministic external-id mapping that
+    leaves all three classes non-empty: matched, event-only, customer-
+    only). One tagged-union shuffle + per-partition outer merge; missing
+    sides surface as -1 / '' exactly like the oracle's COALESCE."""
+    from raydf.joins import partitioned_group_map
+    from raydf.relops import full_outer_join
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def actor(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array(u * 11, pa.int64())})
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("key", sort=False).size()
+        return pd.DataFrame(
+            {"key": g.index.to_numpy(np.int64),
+             "n_events": g.to_numpy(np.int64)}
+        )
+
+    left = partitioned_group_map(
+        ev.map_batches(actor, batch_format="pyarrow"), ["key"], counts,
+        num_partitions=8,
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def right_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": t["c_custkey"].cast(pa.int64()),
+             "segment": t["c_mktsegment"]}
+        )
+
+    out = full_outer_join(
+        left, cust.map_batches(right_cols, batch_format="pyarrow"), ["key"]
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "key": t["key"],
+                "n_events": pc.fill_null(t["n_events"], -1),
+                "segment": pc.fill_null(t["segment"], ""),
+            }
+        )
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
 def _bloom_user_filter(sf_dir: str):
     """Mergeable Bloom filter (2×16384 md5 bits) over the distinct event
     user ids, emitted as exact set-bit rows — the membership pre-filter a
@@ -1395,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _tfidf_top_terms,
         "pq_codes": _pq_codes,
         "bloom_user_filter": _bloom_user_filter,
+        "q_events_customers_outer": _q_events_customers_outer,
     }
 
 
@@ -2116,6 +2169,18 @@ def oracle_sql() -> dict[str, str]:
             FROM tf t JOIN df d USING (term)
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY t.doc_id ORDER BY score_e6 DESC, t.term) <= 3
+        """,
+        "q_events_customers_outer": """
+            WITH ev AS (
+              SELECT user_id * 11 AS key, CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1
+            ), c AS (
+              SELECT c_custkey AS key, c_mktsegment AS segment FROM customer
+            )
+            SELECT key,
+                   COALESCE(ev.n_events, -1) AS n_events,
+                   COALESCE(c.segment, '') AS segment
+            FROM ev FULL OUTER JOIN c USING (key)
         """,
         "bloom_user_filter": """
             WITH vals AS (

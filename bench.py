@@ -117,6 +117,7 @@ _BENCH_QUERIES = [
     "tfidf_top_terms",
     "pq_codes",
     "bloom_user_filter",
+    "q_events_customers_outer",
 ]
 
 

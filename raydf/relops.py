@@ -311,3 +311,32 @@ def anti_join_keys(big_ds, keys_ds, on: Sequence[str], *, num_partitions: int | 
         big_ds, keys_ds.select_columns(on), on, part,
         num_partitions=num_partitions, out_schema_fn=lambda ls, rs: ls,
     )
+
+
+def full_outer_join(left, right, on: Sequence[str], *, num_partitions: int | None = None):
+    """Distributed FULL OUTER join on equal-named key columns: one
+    tagged-union hash shuffle on ``on`` + a per-partition pandas outer
+    merge — the chained-join-safe shape (see
+    :func:`raydf.joins.partitioned_lookup_join`), completing the join
+    family (inner/left lookup, semi/anti, as-of, range). Non-key columns
+    from the missing side come back as NULLS (the pinned Arrow schema
+    keeps int64 columns nullable-int64, not float64+NaN)."""
+    import pyarrow as pa
+
+    on = list(on)
+
+    def part(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        return l.merge(r, on=on, how="outer")
+
+    def out_schema(ls, rs):
+        fields = list(ls)
+        have = set(ls.names)
+        for f in rs:
+            if f.name not in have:
+                fields.append(f)
+        return pa.schema(fields)
+
+    return _two_sided_partition_map(
+        left, right, on, part,
+        num_partitions=num_partitions, out_schema_fn=out_schema,
+    )

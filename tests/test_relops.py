@@ -150,3 +150,33 @@ def test_global_topk_matches_sort(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["v", "id"]], want[["v", "id"]])
+
+
+def test_full_outer_join_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydf.relops import full_outer_join
+
+    l = pd.DataFrame({"k": np.array([1, 2, 3, 5], np.int64),
+                      "lv": np.array([10, 20, 30, 50], np.int64)})
+    r = pd.DataFrame({"k": np.array([2, 3, 4], np.int64),
+                      "rv": ["b", "c", "d"]})
+    ds = full_outer_join(
+        rd.from_arrow(pa.Table.from_pandas(l)).repartition(3),
+        rd.from_arrow(pa.Table.from_pandas(r)).repartition(2),
+        ["k"], num_partitions=4,
+    ).materialize()
+    # the ARROW schema keeps the missing int side nullable-int64 (the
+    # pinned out_schema), not float64 — pandas may render floats below
+    sch = ds.schema()
+    assert str(dict(zip(sch.names, sch.types))["lv"]) == "int64"
+    out = ds.to_pandas().sort_values("k").reset_index(drop=True)
+    exp = l.merge(r, on="k", how="outer").sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == list(exp["k"])
+    assert out.loc[out["k"] == 4, "rv"].iloc[0] == "d"
+    assert pd.isna(out.loc[out["k"] == 4, "lv"].iloc[0])
+    assert pd.isna(out.loc[out["k"] == 1, "rv"].iloc[0])
+    assert len(out) == 5
