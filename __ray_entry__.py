@@ -377,7 +377,10 @@ def _q_asof_purchase_click(sf_dir: str):
             {
                 "event_id": df["event_id"],
                 "user_id": df["user_id"],
-                "gap_us": df["t"] - df["click_t"],
+                # float64: the gap is NULL for never-clicked users, and the
+                # DuckDB oracle df renders nullable ints as float64 — pin
+                # the same representation (a masked Int64 would hash apart)
+                "gap_us": (df["t"] - df["click_t"]).astype("float64"),
             }
         ),
         batch_format="pandas",

@@ -282,18 +282,33 @@ def jaccard_verify_joined(pairs_ds, docs_ds, *, k=5, threshold=0.8,
     )
 
 
+def _mapping_as_ds(mapping_df):
+    """Driver-branch (node, canon) frame → Dataset, so minhash_dedup's
+    mapping return is ONE type on both branches."""
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(mapping_df["node"].to_numpy(np.int64), pa.int64()),
+                "canon": pa.array(mapping_df["canon"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+    )
+
+
 def minhash_dedup(docs_ds, *, k=5, num_hashes=64, bands=16,
                   threshold=0.8, concurrency=4, num_partitions=None):
     """Full near-dedup: LSH candidates → joined Jaccard verify → connected
     components → survivors + cluster mapping.
 
-    Returns ``(survivors_ds, mapping)``: survivors is a LAZY Dataset.
-    ``mapping`` (node → canonical) is a driver pandas frame while the
-    verified pair set fits ``canonicalize.DRIVER_PAIR_LIMIT`` (the common
-    case — LSH-verified near-dup pairs ≪ documents), and a DATASET past
-    it: at web-corpus dup rates (30-50%) pairs ≈ docs, so the finalize
-    must not assume the pair set fits the driver. In the distributed
-    branch components come from min-label propagation
+    Returns ``(survivors_ds, mapping_ds)``: BOTH are Datasets, whatever
+    branch ran — a type-polymorphic mapping (pandas below
+    ``canonicalize.DRIVER_PAIR_LIMIT``, Dataset above) worked at test
+    scale and broke the first time a corpus crossed the threshold
+    (ADVICE r03). Internally the driver branch still computes the
+    union-find mapping as a pandas frame (pairs fit by definition there);
+    past the limit components come from min-label propagation
     (:func:`canonical_mapping_distributed_ds`) and survivors from a
     partitioned anti-join (:func:`raydf.relops.anti_join_keys`) — no
     ``to_pandas()`` / broadcast of anything pair- or corpus-sized."""
@@ -315,7 +330,7 @@ def minhash_dedup(docs_ds, *, k=5, num_hashes=64, bands=16,
     if n_pairs <= canonicalize.DRIVER_PAIR_LIMIT:
         mapping = canonicalize.canonical_mapping_driver(verified_pairs.to_pandas())
         if len(mapping) == 0:
-            return docs_ds, mapping
+            return docs_ds, _mapping_as_ds(mapping)
         dropped = mapping[["node"]].rename(columns={"node": "doc_id"})
         if len(dropped) <= BROADCAST_ROW_LIMIT:
             survivors = broadcast_semi_filter(docs_ds, dropped, on=["doc_id"], anti=True)
@@ -326,7 +341,7 @@ def minhash_dedup(docs_ds, *, k=5, num_hashes=64, bands=16,
                 docs_ds, rd.from_pandas(dropped), ["doc_id"],
                 num_partitions=num_partitions,
             )
-        return survivors, mapping
+        return survivors, _mapping_as_ds(mapping)
     mapping_ds = canonicalize.canonical_mapping_distributed_ds(verified_pairs)
     # rename via an explicit arrow map, not Dataset.rename_columns: the lazy
     # schema fetch downstream (anti_join_keys' tagged union) observed the

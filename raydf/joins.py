@@ -34,9 +34,68 @@ def arrow_schema(ds) -> "pa.Schema":
     s = ds.schema().base_schema
     if isinstance(s, pa.Schema):
         return s
-    return pa.schema(
-        [pa.field(n, pa.from_numpy_dtype(t)) for n, t in zip(s.names, s.types)]
-    )
+
+    def _t(t):
+        # object dtype (pandas text columns) has no numpy→arrow mapping —
+        # pa.from_numpy_dtype raises ArrowNotImplementedError on it; in a
+        # pandas block an object column is a string column
+        if t == np.dtype("O"):
+            return pa.string()
+        return pa.from_numpy_dtype(t)
+
+    return pa.schema([pa.field(n, _t(t)) for n, t in zip(s.names, s.types)])
+
+
+_NP_TO_NULLABLE = {
+    "int64": "Int64", "int32": "Int32", "int16": "Int16", "int8": "Int8",
+    "uint64": "UInt64", "uint32": "UInt32", "uint16": "UInt16", "uint8": "UInt8",
+}
+
+
+def nullable_int_dtype(pa_type) -> str | None:
+    """Pandas nullable (masked) dtype name for an Arrow integer type, or
+    None for non-integer types."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(pa_type):
+        return _NP_TO_NULLABLE.get(str(pa_type))
+    return None
+
+
+def lift_ints_nullable(df: pd.DataFrame, *, skip: Sequence[str] = ()) -> pd.DataFrame:
+    """Cast plain numpy integer columns to pandas NULLABLE ints in place.
+    A pandas merge whose misses null-pad an int64 column degrades it to
+    float64, silently corrupting values above 2^53 (verified off-by-57 at
+    2^62); nullable ints keep misses as <NA> and the Arrow rebuild exact."""
+    for c in df.columns:
+        if c in skip:
+            continue
+        dt = df[c].dtype
+        if getattr(dt, "kind", None) in ("i", "u"):
+            nm = _NP_TO_NULLABLE.get(str(dt))
+            if nm:
+                df[c] = df[c].astype(nm)
+    return df
+
+
+def to_pandas_exact(t) -> pd.DataFrame:
+    """Arrow → pandas with EXACT integers: int columns carrying nulls
+    decode as pandas nullable Int64/… (plain ``.to_pandas()`` gives
+    float64 — silent id corruption above 2^53); null-free int columns
+    come back as plain numpy ints so numpy kernels are unaffected."""
+    import pyarrow as pa
+
+    mapper = {
+        pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype(),
+        pa.int16(): pd.Int16Dtype(), pa.int8(): pd.Int8Dtype(),
+        pa.uint64(): pd.UInt64Dtype(), pa.uint32(): pd.UInt32Dtype(),
+    }
+    df = t.to_pandas(types_mapper=mapper.get)
+    for c in df.columns:
+        dt = df[c].dtype
+        if hasattr(dt, "numpy_dtype") and not df[c].isna().any():
+            df[c] = df[c].to_numpy(dt.numpy_dtype)
+    return df
 
 
 def default_partitions(floor: int = 32) -> int:
@@ -277,15 +336,19 @@ def partitioned_lookup_join(ds, key_col: str, lookup_ds, lookup_key: str,
 
     def merge(t: pa.Table) -> pa.Table:
         right = pc.equal(t["__side"], 1)
-        l = t.filter(pc.invert(right)).select(lcols + ["__lv"]).to_pandas()
+        l = to_pandas_exact(t.filter(pc.invert(right)).select(lcols))
         r = (
-            t.filter(right)
-            .select(["__lk", "__lv"])
-            .to_pandas()
+            to_pandas_exact(t.filter(right).select(["__lk", "__lv"]))
             .drop_duplicates("__lk")
             .rename(columns={"__lk": key_col, "__lv": new_col})
         )
-        out = l.drop(columns="__lv").merge(r, on=key_col, how=how)
+        # integer lookup values ride the merge as pandas NULLABLE ints: a
+        # left join's misses would otherwise degrade the column to float64
+        # and corrupt full-range ids above 2^53 (ADVICE r03)
+        nm = nullable_int_dtype(val_type)
+        if nm is not None:
+            r[new_col] = r[new_col].astype(nm)
+        out = l.merge(r, on=key_col, how=how)
         # build the looked-up column as a NULLABLE arrow array: a left
         # join's misses surface as NaN, which pandas stores as float64 —
         # a plain .cast() to an integer val_type would raise ArrowInvalid

@@ -586,7 +586,10 @@ def rule_bindings(rule: Rule, full: TripleSource, *, delta: TripleSource | None 
     if (
         len(patterns) == 2
         and _fused_pair_enabled()
-        and (delta_ub is None or delta_ub > BROADCAST_BINDINGS_LIMIT)
+        # ub None means UNKNOWN, not big: a lazy tiny delta routed to the
+        # fused shuffle is exactly the regime the A/B measured as strictly
+        # slower than the broadcast cascade — require a KNOWN-big delta
+        and (delta_ub is not None and delta_ub > BROADCAST_BINDINGS_LIMIT)
         and (patterns[0].pattern.vars & patterns[1].pattern.vars)
     ):
         # big-Δ rounds: one fused exchange instead of two decomposition

@@ -75,8 +75,13 @@ def _two_sided_partition_map(
     )
 
     def run(t: pa.Table) -> pa.Table:
-        l = t.filter(pc.equal(t["__side"], 0)).select(lcols).to_pandas()
-        r = t.filter(pc.equal(t["__side"], 1)).select(rcols).to_pandas()
+        from raydf.joins import to_pandas_exact
+
+        # exact int decode: a side's own columns can carry genuine nulls
+        # (e.g. chained outer-join outputs) — plain to_pandas would turn
+        # those into float64 and corrupt full-range ids above 2^53
+        l = to_pandas_exact(t.filter(pc.equal(t["__side"], 0)).select(lcols))
+        r = to_pandas_exact(t.filter(pc.equal(t["__side"], 1)).select(rcols))
         # a pinned out_schema keeps every partition's block schema identical:
         # pandas degrades unmatched int64 join columns to float64+NaN in SOME
         # partitions only, and Arrow won't concat int64 blocks with float64
@@ -111,8 +116,16 @@ def asof_join(
     by = list(by)
 
     def part(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        from raydf.joins import lift_ints_nullable
+
         l = l.sort_values(on, kind="mergesort")
-        r = r.sort_values(on, kind="mergesort")
+        # right PAYLOAD int columns ride as pandas nullable ints so a
+        # left row with no as-of match gets <NA>, not a float64 column
+        # that corrupts ids above 2^53; match keys stay numpy for
+        # merge_asof's ordered-key requirement
+        r = lift_ints_nullable(
+            r.sort_values(on, kind="mergesort"), skip=[on] + by
+        )
         return pd.merge_asof(
             l, r, on=on, by=by, direction=direction,
             tolerance=tolerance, suffixes=("", suffix),
@@ -326,7 +339,15 @@ def full_outer_join(left, right, on: Sequence[str], *, num_partitions: int | Non
     on = list(on)
 
     def part(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        return l.merge(r, on=on, how="outer")
+        from raydf.joins import lift_ints_nullable
+
+        # outer-merge misses null-pad the absent side — lift ints to
+        # pandas nullable so misses are <NA>, not a float64 degradation
+        # that corrupts full-range ids above 2^53 (keys never null: a
+        # key always comes from whichever side has the row)
+        return lift_ints_nullable(l, skip=on).merge(
+            lift_ints_nullable(r, skip=on), on=on, how="outer"
+        )
 
     def out_schema(ls, rs):
         fields = list(ls)

@@ -52,7 +52,8 @@ def test_minhash_finds_planted_neardups(near_dup_docs):
     )
     # shingling lowercases, so doc 12 (= BASE uppercased) joins cluster1 and
     # the two planted clusters merge into one; min-id 10 survives it
-    dropped = set(mapping["node"])
+    # (mapping is ALWAYS a Dataset — one return type on both branches)
+    dropped = set(mapping.to_pandas()["node"])
     assert dropped == {11, 12, 13}
     # survivors is a LAZY Dataset (anti-join of docs against dropped ids)
     assert set(survivors.to_pandas()["doc_id"]) == set(range(11))
@@ -69,9 +70,11 @@ def test_minhash_distributed_finalize_matches_driver(near_dup_docs, monkeypatch)
     surv_driver, map_driver = dedup.minhash_dedup(docs, threshold=0.7)
     monkeypatch.setattr(canonicalize, "DRIVER_PAIR_LIMIT", 0)
     surv_dist, map_dist = dedup.minhash_dedup(docs, threshold=0.7)
-    assert not isinstance(map_dist, pd.DataFrame)  # Dataset: never drivered
+    # BOTH branches return the mapping as a Dataset (one type, ADVICE r03)
+    assert not isinstance(map_dist, pd.DataFrame)
+    assert not isinstance(map_driver, pd.DataFrame)
     got = map_dist.to_pandas().sort_values("node").reset_index(drop=True)
-    want = map_driver.sort_values("node").reset_index(drop=True)
+    want = map_driver.to_pandas().sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64"), check_dtype=False
     )

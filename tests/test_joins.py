@@ -214,3 +214,79 @@ def test_partitions_for_bytes_sizing_rule():
     assert partitions_for_bytes(PARTITION_TARGET_BYTES * 100, floor=16) == 100
     # small inputs keep the CPU-scaled floor
     assert partitions_for_bytes(1024, floor=64) == 64
+
+
+def test_arrow_schema_pandas_block_with_text(ray_session):
+    """PandasBlockSchema fallback: object dtype must map to pa.string(),
+    not crash pa.from_numpy_dtype — and the helpers built on arrow_schema
+    must accept pandas-block datasets with text columns (ADVICE r03)."""
+    from raydf.joins import arrow_schema
+    from raydf.relops import full_outer_join
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                      "text": ["a", "b", "c"]})
+    )
+    s = arrow_schema(ds)
+    assert s.field("text").type in (pa.string(), pa.large_string())
+    other = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.array([2, 3], np.int64),
+                      "extra": ["x", "y"]})
+    )
+    out = full_outer_join(ds, other, ["doc_id"]).to_pandas()
+    assert len(out) == 4
+    assert out.loc[out["doc_id"] == 2, "extra"].iloc[0] == "x"
+
+
+def test_lookup_join_left_full_range_int64_exact(ray_session):
+    """how='left' with full-range int64 lookup values: ONE miss used to
+    degrade the whole column to float64 and corrupt values above 2^53
+    (off by 57 at 2^62 — ADVICE r03). Hits must round-trip exactly."""
+    from raydf.joins import partitioned_lookup_join
+
+    big = 2**62 + 57
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+    lookup = rd.from_arrow(
+        pa.table({"k": pa.array([1, 3], pa.int64()),
+                  "v": pa.array([big, -big - 7], pa.int64())})
+    )
+    ds = partitioned_lookup_join(left, "k", lookup, "k", "v", "v",
+                                 how="left", num_partitions=5)
+    # consume via Arrow: Dataset.to_pandas() itself would float64-degrade
+    # the nullable int64 column — the engine's blocks are exact
+    rows = {r["k"]: r["v"] for r in ds.take_all()}
+    assert rows[1] == big
+    assert rows[3] == -big - 7
+    assert rows[2] is None
+
+
+def test_fused_gate_unknown_delta_uses_cascade(ray_session, monkeypatch):
+    """delta.upper_bound() is None means UNKNOWN, not big: even with
+    RAYDF_FUSED_PAIR=1 the gate must fall back to the decomposition
+    cascade — the A/B measured the fused shuffle strictly slower exactly
+    when deltas are small (ADVICE r03)."""
+    from raydf import match as M
+
+    monkeypatch.setenv("RAYDF_FUSED_PAIR", "1")
+
+    def boom(*a, **k):
+        raise AssertionError("fused path taken for unknown-size delta")
+
+    monkeypatch.setattr(M, "fused_pair_bindings", boom)
+    P = 77
+    full = M.DatasetSource(rd.from_arrow(_mk_triples([(1, P, 2), (2, P, 3)])).materialize())
+    # lazy delta: a map_batches view has no metadata row bound → ub None
+    lazy = rd.from_arrow(_mk_triples([(2, P, 3)])).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+    delta = M.DatasetSource(lazy)
+    assert delta.upper_bound() is None
+    old = M.DatasetSource(rd.from_arrow(_mk_triples([(1, P, 2)])).materialize())
+    rule = R.rule(
+        3,
+        [R.pat(R.v(0), IntC(P), R.v(1)), R.pat(R.v(1), IntC(P), R.v(2))],
+        [R.triple_st(R.v(0), IntC(P), R.v(2))],
+    )
+    b = M.rule_bindings(rule, full, delta=delta, old=old, num_partitions=4)
+    out = b.to_pandas()
+    assert out[["v0", "v1", "v2"]].values.tolist() == [[1, 2, 3]]

@@ -44,7 +44,11 @@ def test_asof_join_matches_pandas(ray_session, events):
         right.sort_values("t", kind="mergesort"),
         on="t", by="user_id", direction="backward",
     ).sort_values("event_id").reset_index(drop=True)
-    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # the engine keeps missed int payloads as nullable Int64 (exact above
+    # 2^53); the pandas oracle degrades them to float64 — compare values
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()].astype({"payload": "float64"}), want
+    )
     assert got["payload"].isna().any()  # some users have no earlier right row
 
 
@@ -180,3 +184,49 @@ def test_full_outer_join_matches_pandas():
     assert pd.isna(out.loc[out["k"] == 4, "lv"].iloc[0])
     assert pd.isna(out.loc[out["k"] == 1, "rv"].iloc[0])
     assert len(out) == 5
+
+
+def test_full_outer_join_full_range_int64_exact():
+    """Misses on either side must not float64-degrade the other side's
+    int64 payloads: values above 2^53 round-trip exactly (ADVICE r03)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydf.relops import full_outer_join
+
+    big = 2**62 + 57
+    l = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                "lv": pa.array([big, big + 1], pa.int64())}))
+    r = rd.from_arrow(pa.table({"k": pa.array([2, 3], pa.int64()),
+                                "rv": pa.array([-big, big + 3], pa.int64())}))
+    # consume via Arrow rows: Dataset.to_pandas() would float64-degrade
+    # nullable int64 — the engine's blocks must be exact
+    rows = {r["k"]: r for r in full_outer_join(l, r, ["k"], num_partitions=3).take_all()}
+    assert rows[1]["lv"] == big
+    assert rows[2]["rv"] == -big
+    assert rows[3]["rv"] == big + 3
+    assert rows[3]["lv"] is None
+
+
+def test_asof_join_miss_keeps_full_range_int64(ray_session):
+    """A left row with no as-of match must not float64-degrade the right
+    payload column for the rows that DID match (ADVICE r03 family)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydf.relops import asof_join
+
+    big = 2**62 + 57
+    l = rd.from_arrow(pa.table({"u": pa.array([1, 1], pa.int64()),
+                                "ts": pa.array([5, 50], pa.int64())}))
+    r = rd.from_arrow(pa.table({"u": pa.array([1], pa.int64()),
+                                "ts": pa.array([10], pa.int64()),
+                                "pay": pa.array([big], pa.int64())}))
+    rows = {r["ts"]: r for r in
+            asof_join(l, r, by=["u"], on="ts", num_partitions=2).take_all()}
+    assert rows[5]["pay"] is None
+    assert rows[50]["pay"] == big

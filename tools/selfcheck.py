@@ -46,7 +46,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             if len(v) and (v == v.astype("int64")).all():
                 df[c] = v.astype("int64")
         elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
+            # masked Int64 with NA cannot astype int64 — mirror DuckDB's
+            # rendering of NULL-able int results (float64 + NaN)
+            if df[c].isna().any():
+                df[c] = df[c].astype("float64")
+            else:
+                df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
