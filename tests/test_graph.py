@@ -108,6 +108,11 @@ def test_connected_components_distributed_path(random_graph, monkeypatch):
     from raydf.graph import connected_components
 
     monkeypatch.setattr(cz, "DRIVER_PAIR_LIMIT", 0)
+
+    def boom(*a, **k):  # the mapping must NEVER land on the driver here
+        raise AssertionError("driver union-find called on the distributed branch")
+
+    monkeypatch.setattr(cz, "canonical_mapping_driver", boom)
     src, dst = random_graph
     out = connected_components(
         rd.from_arrow(edge_table(src, dst)).repartition(4)
