@@ -21,12 +21,23 @@ computes the same classes without driver memory.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
 DRIVER_PAIR_LIMIT = 5_000_000
+
+# Above this many (node, canon) rows the mapping is no longer broadcast via
+# ray.put into remap stages — it stays a Dataset and remaps via the joined
+# path (unbounded sameAs growth must not bound the flagship's merge scale
+# on driver memory — VERDICT r03 #2). 2M rows ≈ 32 MB of two int64 arrays,
+# comfortably broadcastable; the gate exists for the regime far past it.
+MAPPING_BROADCAST_LIMIT = int(
+    os.environ.get("RAYDF_MAPPING_BROADCAST_LIMIT", 2_000_000)
+)
 
 
 class UnionFind:
@@ -166,7 +177,34 @@ def canonical_mapping_distributed_ds(
             {"node": out["val"].to_numpy(np.int64), "lbl": out["lbl"].to_numpy(np.int64)}
         )
 
-    prev_sum = labels.sum("lbl")
+    import pyarrow.compute as pc
+
+    def _exact_label_sum(lbl_ds) -> int:
+        """Exact Σ lbl over full-range int64 labels. ``Dataset.sum`` on
+        md5-low64 ids overflows C long in the reduce (observed: falls back
+        to pickled python objects with a worker traceback per round).
+        Split each label into hi/lo 32-bit halves — per-block partials fit
+        int64 comfortably — and recombine on the driver with python ints
+        (exact, unbounded). Driver traffic: two int64 per block."""
+        def part(t: pa.Table) -> pa.Table:
+            v = t["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "hi": pa.array([int((v >> 32).sum())], pa.int64()),
+                    "lo": pa.array([int((v & 0xFFFFFFFF).sum())], pa.int64()),
+                }
+            )
+
+        total = 0
+        for b in lbl_ds.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            total += (int(pc.sum(b["hi"]).as_py() or 0) << 32) + int(
+                pc.sum(b["lo"]).as_py() or 0
+            )
+        return total
+
+    prev_sum = _exact_label_sum(labels)
     for _ in range(max_iters):
         # (1) neighbour propagation: node ← label(nbr): ask at key=nbr
         ask_nbr = _msgs(sym, key="nbr", val="node", side=0)
@@ -197,7 +235,7 @@ def canonical_mapping_distributed_ds(
             .aggregate(Min("lbl", alias_name="lbl"))
             .materialize()
         )
-        cur_sum = labels.sum("lbl")
+        cur_sum = _exact_label_sum(labels)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -362,7 +400,8 @@ def _mix_mod(arr: "np.ndarray", P: int) -> "np.ndarray":
 
 
 def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj", "graph"),
-                         num_partitions: int | None = None):
+                         num_partitions: int | None = None,
+                         flag_col: str | None = None):
     """Remap id columns via per-column partitioned hash lookups — the scale
     path when the canonical mapping exceeds broadcast limits (unbounded
     sameAs growth). One coarse union+groupby shuffle per remapped column;
@@ -370,7 +409,10 @@ def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj",
     as the broadcast remap, pyarrow-native end to end (int64 stays int64 —
     a pandas round-trip would degrade null-padded columns to float64 and
     corrupt full-range term ids). List-typed columns (lineage
-    ``substitution``) are packed to large_binary for the ride.
+    ``substitution``) are packed to large_binary for the ride. With
+    ``flag_col`` each output row carries a bool marking whether ANY id
+    changed — the same Δ-seed contract as the broadcast
+    :func:`remap_triples`, accumulated across the per-column passes.
 
     Deliberately avoids Ray's native JoinOperator: its empty hash
     partitions emit schema-less blocks that are forwarded around
@@ -409,11 +451,20 @@ def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj",
         pa.field(f.name, pa.large_binary()) if f.name in list_cols else f
         for f in schema
     ]
+    if flag_col is not None:
+        packed_fields.append(pa.field(flag_col, pa.bool_()))
     tcols = [f.name for f in packed_fields]
 
     out = triples_ds
     if list_cols:
         out = out.map_batches(pack, batch_format="pyarrow")
+    if flag_col is not None:
+        out = out.map_batches(
+            lambda t: t.append_column(
+                flag_col, pa.array(np.zeros(len(t), bool), pa.bool_())
+            ),
+            batch_format="pyarrow",
+        )
 
     for c in cols:
 
@@ -439,6 +490,19 @@ def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj",
         )
 
         def merge(t: pa.Table, _c=c) -> pa.Table:
+            if t.schema.field(_c).type != pa.int64():
+                # loud, because silent would be data corruption: the only
+                # way an int64 id column arrives here non-int64 is Ray's
+                # sort reduce normalizing the partition through PANDAS
+                # (most-prevalent block type wins when empty pandas blocks
+                # crowd the stream), which null-pads int64 → float64 and
+                # loses id bits above 2^53. joins.group_out_arrow keeps
+                # group-map outputs arrow precisely to prevent this.
+                raise RuntimeError(
+                    f"remap merge: column {_c!r} arrived as "
+                    f"{t.schema.field(_c).type} (expected int64) — a pandas "
+                    "block slipped into the exchange and degraded id columns"
+                )
             right = pc.equal(t["__side"], 1)
             l = t.filter(pc.invert(right)).select(tcols)
             r = t.filter(right)
@@ -452,6 +516,10 @@ def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj",
                 new = np.where(k[pos] == arr, v[pos], arr)
                 i = l.schema.get_field_index(_c)
                 l = l.set_column(i, l.schema.field(i), pa.array(new, pa.int64()))
+                if flag_col is not None:
+                    chg = l[flag_col].to_numpy(zero_copy_only=False) | (new != arr)
+                    j = l.schema.get_field_index(flag_col)
+                    l = l.set_column(j, l.schema.field(j), pa.array(chg, pa.bool_()))
             return l
 
         out = u.groupby("__p").map_groups(merge, batch_format="pyarrow")
@@ -473,6 +541,58 @@ def remap_triples(triples_ds, mapping: pd.DataFrame, *, flag_col: str | None = N
     return triples_ds.map_batches(
         make_remapper(mapping, cols=("subj", "pred", "obj", "graph"), flag_col=flag_col),
         batch_format="pyarrow",
+    )
+
+
+def compose_mappings_ds(total_ds, new_ds, *, num_partitions: int | None = None):
+    """Distributed ``total ∘ new`` over (node, canon) mapping Datasets —
+    same semantics as :func:`raydf.pipeline.compose_mappings`, with nothing
+    driver-resident: total's canon values are remapped through new via the
+    partitioned joined lookup, and new rows whose node is absent from total
+    append via a partitioned anti-join (the scale path when the accumulated
+    Eq mapping exceeds MAPPING_BROADCAST_LIMIT)."""
+    from raydf.relops import anti_join_keys
+
+    remapped = remap_triples_joined(
+        total_ds, new_ds, cols=("canon",), num_partitions=num_partitions
+    )
+    extra = anti_join_keys(
+        new_ds, total_ds.select_columns(["node"]), ["node"],
+        num_partitions=num_partitions,
+    )
+    # normalize both branches to arrow blocks (anti_join_keys emits pandas
+    # blocks; a mixed-type union breaks downstream schema sampling)
+    def _arrow_i64(b) -> pa.Table:
+        if isinstance(b, pa.Table):
+            return pa.table(
+                {"node": b["node"].cast(pa.int64()), "canon": b["canon"].cast(pa.int64())}
+            )
+        return pa.table(
+            {
+                "node": pa.array(b["node"].to_numpy(np.int64), pa.int64()),
+                "canon": pa.array(b["canon"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return remapped.map_batches(_arrow_i64, batch_format="pyarrow").union(
+        extra.map_batches(_arrow_i64, batch_format="pyarrow")
+    )
+
+
+def remap_terms_joined(terms_ds, mapping_ds, *, num_partitions: int | None = None):
+    """Joined-lookup variant of :func:`remap_terms` for mapping Datasets
+    past MAPPING_BROADCAST_LIMIT: canonical_id starts as term_id and is
+    remapped through the mapping via the partitioned lookup — the term
+    dictionary never meets a driver frame."""
+
+    def _add(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "canonical_id", t["term_id"].cast(pa.int64()).combine_chunks()
+        )
+
+    withc = terms_ds.map_batches(_add, batch_format="pyarrow")
+    return remap_triples_joined(
+        withc, mapping_ds, cols=("canonical_id",), num_partitions=num_partitions
     )
 
 

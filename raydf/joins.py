@@ -131,6 +131,28 @@ def partitions_for_bytes(est_bytes: int | None, *, floor: int | None = None) -> 
     return max(base, math.ceil(est_bytes / PARTITION_TARGET_BYTES))
 
 
+def group_out_arrow(df: pd.DataFrame):
+    """Pandas group-fn output → arrow block. Group maps that emit PANDAS
+    blocks poison every DOWNSTREAM sort-based exchange: Ray's sort reduce
+    normalizes each partition's blocks to the MOST PREVALENT block type
+    (``Dataset.sort`` passes batch_format="default" → no target), so a crowd
+    of empty pandas blocks (empty blocks skip later map UDFs, keeping their
+    stale type) flips whole partitions through pandas — null-padded int64
+    degrades to float64 and silently corrupts full-range ids above 2^53
+    (observed nondeterministically: canonical_mapping_distributed_ds left
+    ~334 empty pandas blocks that corrupted remap_triples_joined). Emitting
+    arrow here keeps every block stream single-typed. Falls back to the
+    pandas frame only if arrow can't infer the columns."""
+    import pyarrow as pa
+
+    if not isinstance(df, pd.DataFrame):
+        return df
+    try:
+        return pa.Table.from_pandas(df, preserve_index=False)
+    except Exception:
+        return df
+
+
 def distinct(ds, cols: Sequence[str], *, pre_dedup: bool = True, num_partitions: int = 32):
     """Distinct rows by ``cols`` (keeps first row per key, arbitrary order).
 
@@ -156,7 +178,8 @@ def distinct(ds, cols: Sequence[str], *, pre_dedup: bool = True, num_partitions:
         ds.map_batches(pre, batch_format="pandas")
         .groupby("__p")
         .map_groups(
-            lambda d: d.drop_duplicates(subset=cols), batch_format="pandas"
+            lambda d: group_out_arrow(d.drop_duplicates(subset=cols)),
+            batch_format="pandas",
         )
         .drop_columns(["__p"])
     )
@@ -191,7 +214,8 @@ def partitioned_group_map(ds, keys: Sequence[str], partition_fn, *, num_partitio
         ds.map_batches(pre, batch_format="pandas")
         .groupby("__p")
         .map_groups(
-            lambda d: partition_fn(d.drop(columns="__p")), batch_format="pandas"
+            lambda d: group_out_arrow(partition_fn(d.drop(columns="__p"))),
+            batch_format="pandas",
         )
     )
 

@@ -210,17 +210,26 @@ def order_patterns(items: list) -> list:
 
 
 def _join_partitions(num_partitions: int) -> int:
-    """Partition count for the native hash join: capped at 16 (its per-
-    partition fixed cost regresses past that) and at the cluster CPU count
-    (aggregator actors reserve 0.125 CPU per partition; over-reserving
-    deadlocks small clusters). Re-verified on the round-2 lazy cascade:
-    cap=cpus(32) → 226 s end-to-end at 1M files/32 CPUs vs cap=16 → 130 s
-    — Ray 2.49's hash-join partition overhead dominates regardless of
-    cascade shape, so the hard 16 stays."""
+    """Partition count for the native hash join.
+
+    Policy: ``min(num_partitions, max(16, cpus // 2), cpus)`` — the
+    single-node floor of 16 is measured (Ray 2.49's per-partition hash-join
+    fixed cost: cap=cpus(32) → 226 s end-to-end at 1M files/32 CPUs vs
+    cap=16 → 130 s, re-verified round 3), but a UNIVERSAL hard 16 would cap
+    every big join's reduce parallelism on a multi-node cluster with
+    hundreds of aggregate CPUs (VERDICT r03 #3). ``cpus // 2`` grows the
+    cap with aggregate cluster size while keeping per-partition work above
+    the fixed-cost floor; the ``cpus`` term stops aggregator actors
+    (0.125 CPU reserved per partition) from over-reserving small clusters.
+    On a 32-CPU single node the policy reduces to the measured 16.
+    ``RAYDF_JOIN_PARTITION_CAP`` overrides the cap term outright."""
+    import os
+
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2, min(num_partitions, 16, cpus))
+    cap = int(os.environ.get("RAYDF_JOIN_PARTITION_CAP", 0)) or max(16, cpus // 2)
+    return max(2, min(num_partitions, cap, cpus))
 
 
 # ------------------------------------------------------------- join cascade

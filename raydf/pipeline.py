@@ -27,10 +27,11 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from raydf import canonicalize as cz
 from raydf import joins
 from raydf import rules as R
 from raydf import terms
-from raydf.canonicalize import canonical_mapping, remap_terms, remap_triples
+from raydf.canonicalize import remap_terms, remap_triples
 from raydf.deduce import FixpointEngine
 from raydf.extract import (
     extract_wide,
@@ -171,6 +172,53 @@ def compose_mappings(total: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
     return pd.concat([total, extra], ignore_index=True)
 
 
+def _mapping_df_to_ds(df: pd.DataFrame):
+    import numpy as np
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(df["node"].to_numpy(np.int64), pa.int64()),
+                "canon": pa.array(df["canon"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+    )
+
+
+def _gated_mapping(pairs, *, num_partitions: int):
+    """Eq pairs → canonical mapping with the two scale gates applied:
+
+    * pairs is a driver frame, or a Dataset whose count fits
+      ``cz.DRIVER_PAIR_LIMIT`` → numpy min-label union-find on the driver;
+    * the resulting mapping exceeds ``cz.MAPPING_BROADCAST_LIMIT`` (or the
+      pair set never fit the driver) → the mapping is (or becomes) a
+      DATASET, and every consumer downstream must take the joined path.
+
+    Returns ``(mapping_df, mapping_ds)`` — exactly one is non-None."""
+    empty = pd.DataFrame({"node": [], "canon": []})
+    if pairs is None:
+        return empty, None
+    if isinstance(pairs, pd.DataFrame):
+        if len(pairs) == 0:
+            return empty, None
+        df = cz.canonical_mapping_driver(pairs)
+    else:
+        n = pairs.count()
+        if n == 0:
+            return empty, None
+        if n > cz.DRIVER_PAIR_LIMIT:
+            ds = cz.canonical_mapping_distributed_ds(
+                pairs.select_columns(["a", "b"]), num_partitions=num_partitions
+            ).materialize()
+            return None, ds
+        df = cz.canonical_mapping_driver(
+            pairs.select_columns(["a", "b"]).to_pandas()
+        )
+    if len(df) > cz.MAPPING_BROADCAST_LIMIT:
+        return None, _mapping_df_to_ds(df)
+    return df, None
+
+
 def kg_pipeline(
     source_ds,
     workdir: str,
@@ -234,6 +282,11 @@ def kg_pipeline(
         intern_wide_batch, batch_format="pyarrow"
     )
     total_mapping = pd.DataFrame({"node": [], "canon": []})
+    # once any generation's (or the accumulated) mapping exceeds
+    # MAPPING_BROADCAST_LIMIT this becomes a Dataset and every downstream
+    # consumer (remap, composition, terms) takes the joined scale path —
+    # unbounded sameAs growth never lands a mapping frame on the driver
+    total_mapping_ds = None
 
     # pre-merge pass: evaluate Eq-concluding rules against the *stated*
     # triples and canonicalize BEFORE the fixpoint. Entity links are
@@ -242,12 +295,20 @@ def kg_pipeline(
     # generation instead of re-deducing the whole graph under the merge.
     # (Eqs that only emerge from derived triples are still caught by the
     # generation loop below — this is purely an optimization.)
-    pre_mapping = _premerge_mapping(stated := stated.materialize(), system,
-                                    num_partitions=num_partitions)
-    if len(pre_mapping):
-        total_mapping = compose_mappings(total_mapping, pre_mapping)
-        stated = remap_triples(stated, pre_mapping)
-    metrics["premerged_entities"] = int(len(pre_mapping))
+    pre_pairs = _premerge_eq_pairs(stated := stated.materialize(), system,
+                                   num_partitions=num_partitions)
+    pre_df, pre_ds = _gated_mapping(pre_pairs, num_partitions=num_partitions)
+    if pre_ds is not None:
+        total_mapping_ds = pre_ds
+        stated = cz.remap_triples_joined(
+            stated, pre_ds, num_partitions=num_partitions
+        )
+        metrics["premerged_entities"] = int(pre_ds.count())
+    else:
+        if len(pre_df):
+            total_mapping = compose_mappings(total_mapping, pre_df)
+            stated = remap_triples(stated, pre_df)
+        metrics["premerged_entities"] = int(len(pre_df))
     gen = 0
     engine = None
     unchanged_ds = changed_ds = None
@@ -269,16 +330,38 @@ def kg_pipeline(
         # driver pq read (no Ray job) when pairs are small; else the
         # distributed min-label path via the Dataset view
         eqs_df = engine.eq_pairs_df()
-        mapping = canonical_mapping(
-            eqs_df if eqs_df is not None else engine.eq_pairs()
+        m_df, m_ds = _gated_mapping(
+            eqs_df if eqs_df is not None else engine.eq_pairs(),
+            num_partitions=num_partitions,
         )
         # only *new* merges (w.r.t. the already-applied composition) matter
-        if len(mapping) == 0:
+        if m_ds is None and len(m_df) == 0:
             break
-        total_mapping = compose_mappings(total_mapping, mapping)
-        remapped = remap_triples(
-            engine.dataset(), mapping, flag_col="__changed"
-        ).materialize()
+        if m_ds is not None or total_mapping_ds is not None:
+            # joined scale path: this generation's mapping (or the
+            # accumulated one) exceeds the broadcast gate — compose and
+            # remap as Datasets end-to-end, nothing driver-resident
+            if m_ds is None:
+                m_ds = _mapping_df_to_ds(m_df)
+            if m_ds.count() == 0:
+                break
+            if total_mapping_ds is None and len(total_mapping) == 0:
+                total_mapping_ds = m_ds
+            else:
+                if total_mapping_ds is None:
+                    total_mapping_ds = _mapping_df_to_ds(total_mapping)
+                total_mapping_ds = cz.compose_mappings_ds(
+                    total_mapping_ds, m_ds, num_partitions=num_partitions
+                ).materialize()
+            remapped = cz.remap_triples_joined(
+                engine.dataset(), m_ds, flag_col="__changed",
+                num_partitions=num_partitions,
+            ).materialize()
+        else:
+            total_mapping = compose_mappings(total_mapping, m_df)
+            remapped = remap_triples(
+                engine.dataset(), m_df, flag_col="__changed"
+            ).materialize()
 
         def _side(val):
             def f(t: pa.Table) -> pa.Table:
@@ -296,7 +379,10 @@ def kg_pipeline(
     metrics["stages"]["fixpoint"] = time.time() - t0
     metrics["generations"] = gen + 1
     metrics["rounds"] = engine.manifest()["rounds"]
-    metrics["merged_entities"] = int(len(total_mapping))
+    metrics["merged_entities"] = int(
+        total_mapping_ds.count() if total_mapping_ds is not None
+        else len(total_mapping)
+    )
 
     # ---- stage 5: materialize sorted, dictionary-encoded store
     t0 = time.time()
@@ -312,7 +398,12 @@ def kg_pipeline(
         )
         term_files.extend(eng_g.term_delta_files())
     terms_ds = joins.distinct(rd.read_parquet(term_files), ["term_id"])
-    terms_ds = remap_terms(terms_ds, total_mapping)
+    if total_mapping_ds is not None:
+        terms_ds = cz.remap_terms_joined(
+            terms_ds, total_mapping_ds, num_partitions=num_partitions
+        )
+    else:
+        terms_ds = remap_terms(terms_ds, total_mapping)
     if not _stage_done(out_dir):
         materialize_graph(final_triples, terms_ds, out_dir)
         _mark_done(out_dir)
@@ -327,11 +418,13 @@ def kg_pipeline(
     return metrics
 
 
-def _premerge_mapping(stated_mat, system: R.System, *, num_partitions: int) -> pd.DataFrame:
-    """Union-find mapping from Eq-concluding rules evaluated over the
-    stated triples only (no Call-expression Eq terms — those wait for the
-    generation loop, which resolves literals)."""
-    from raydf.canonicalize import canonical_mapping
+def _premerge_eq_pairs(stated_mat, system: R.System, *, num_partitions: int):
+    """Eq pairs from Eq-concluding rules evaluated over the stated triples
+    only (no Call-expression Eq terms — those wait for the generation loop,
+    which resolves literals). Returns a MATERIALIZED (a, b) Dataset (or
+    None): the caller's gate (:func:`_gated_mapping`) decides whether the
+    union-find runs on the driver or as distributed label propagation, so
+    the pair set is executed exactly once here and consumed cheaply."""
     from raydf.deduce import make_eqs_fn
     from raydf.match import DatasetSource, rule_bindings
     from raydf.rules import ConstTerm, Var
@@ -351,14 +444,11 @@ def _premerge_mapping(stated_mat, system: R.System, *, num_partitions: int) -> p
             continue
         parts.append(b.map_batches(make_eqs_fn(rule, idx, 0), batch_format="pandas"))
     if not parts:
-        return pd.DataFrame({"node": [], "canon": []})
+        return None
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
-    # collect ONCE (the mapping is driver-resident anyway) — calling
-    # canonical_mapping on the lazy Dataset would execute it twice
-    # (count + to_pandas)
-    return canonical_mapping(out.to_pandas()[["a", "b"]])
+    return out.select_columns(["a", "b"]).materialize()
 
 
 def R_const_terms_table(system: R.System) -> pa.Table:

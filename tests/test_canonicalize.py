@@ -117,3 +117,52 @@ def test_remap_joined_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(via_join, via_bcast)
     assert set(via_join["subj"]) == {1}  # 2 and big both remapped to 1
     assert 3 in set(via_join["graph"])  # non-mapped graph id untouched
+
+    # flag_col contract: the joined remap must mark exactly the rows the
+    # broadcast remap marks (the Δ seed of the generation loop)
+    fb = (
+        remap_triples(tds, mapping, flag_col="__changed").to_pandas()
+        .sort_values(cols).reset_index(drop=True)
+    )
+    fj = (
+        remap_triples_joined(tds, mds, flag_col="__changed").to_pandas()
+        .sort_values(cols).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        fj[cols + ["__changed"]], fb[cols + ["__changed"]]
+    )
+    assert fj["__changed"].all()  # every fixture row touches a mapped id
+
+
+def test_compose_mappings_ds_matches_driver(ray_session):
+    """Distributed mapping composition (total ∘ new as Datasets) must equal
+    the driver compose_mappings on the same inputs."""
+    from raydf.canonicalize import compose_mappings_ds
+    from raydf.pipeline import compose_mappings
+
+    rng = np.random.default_rng(11)
+    total = pd.DataFrame(
+        {"node": np.arange(100, 140, dtype=np.int64),
+         "canon": rng.integers(0, 50, 40).astype(np.int64)}
+    )
+    # new remaps some of total's canons and introduces fresh nodes,
+    # including one already present in total (must NOT be re-added)
+    new = pd.DataFrame(
+        {"node": np.array([3, 7, 120, 500, 501], dtype=np.int64),
+         "canon": np.array([1, 1, 9, 2, 2], dtype=np.int64)}
+    )
+    want = (
+        compose_mappings(total, new)
+        .sort_values(["node"]).reset_index(drop=True)
+    )
+    got = (
+        compose_mappings_ds(
+            rd.from_arrow(pa.table({"node": pa.array(total["node"], pa.int64()),
+                                    "canon": pa.array(total["canon"], pa.int64())})),
+            rd.from_arrow(pa.table({"node": pa.array(new["node"], pa.int64()),
+                                    "canon": pa.array(new["canon"], pa.int64())})),
+        )
+        .to_pandas().astype(np.int64)
+        .sort_values(["node"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.astype(np.int64))

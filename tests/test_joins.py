@@ -4,6 +4,7 @@ the coarse-partitioned distinct/group-map helpers."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from raydf import rules as R
@@ -290,3 +291,49 @@ def test_fused_gate_unknown_delta_uses_cascade(ray_session, monkeypatch):
     b = M.rule_bindings(rule, full, delta=delta, old=old, num_partitions=4)
     out = b.to_pandas()
     assert out[["v0", "v1", "v2"]].values.tolist() == [[1, 2, 3]]
+
+
+def test_group_maps_emit_arrow_blocks(ray_session):
+    """partitioned_group_map / distinct outputs must be ARROW blocks —
+    pandas group outputs (especially empty ones, which skip later map
+    UDFs) flip Ray's sort-reduce most-prevalent block normalization to
+    pandas, silently degrading null-padded int64 columns to float64 and
+    corrupting full-range ids above 2^53 (round-4 root cause of the
+    nondeterministic remap_triples_joined failure)."""
+    import pyarrow as pa
+
+    from raydf.joins import distinct, partitioned_group_map
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 2, 3], pa.int64()),
+                "v": pa.array([2**62 + i for i in range(5)], pa.int64()),
+            }
+        )
+    )
+    gm = partitioned_group_map(
+        ds, ["k"], lambda d: d.groupby("k", as_index=False)["v"].min(),
+        num_partitions=8,
+    ).materialize()
+    dn = distinct(ds, ["k"], num_partitions=8).materialize()
+    for out in (gm, dn):
+        for ref in out.get_internal_block_refs():
+            b = ray.get(ref)
+            assert isinstance(b, pa.Table), type(b)
+    got = gm.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["v"].tolist() == [2**62, 2**62 + 2, 2**62 + 4]  # exact int64
+    assert len(dn.to_pandas()) == 3
+
+
+def test_join_partition_policy(ray_session, monkeypatch):
+    """The native-join partition cap scales with aggregate cluster CPUs
+    (max(16, cpus//2)) instead of a universal hard 16 (VERDICT r03 #3);
+    RAYDF_JOIN_PARTITION_CAP overrides; the CPU term still bounds it."""
+    from raydf.match import _join_partitions
+
+    cpus = int(ray.cluster_resources().get("CPU"))
+    assert _join_partitions(1000) == min(max(16, cpus // 2), cpus)
+    assert _join_partitions(2) == 2
+    monkeypatch.setenv("RAYDF_JOIN_PARTITION_CAP", "3")
+    assert _join_partitions(1000) == 3

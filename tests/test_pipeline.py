@@ -134,6 +134,61 @@ def test_entity_linking_merges_module_and_file(tmp_path):
         assert not (a in lex_in_graph and b in lex_in_graph), (a, b)
 
 
+def _decoded_sorted(metrics) -> pd.DataFrame:
+    df = _decoded(metrics)[["s_lex", "p_lex", "o_lex", "sign"]]
+    return df.sort_values(["s_lex", "p_lex", "o_lex", "sign"]).reset_index(drop=True)
+
+
+def test_pipeline_joined_canonicalization_matches_broadcast(tmp_path, monkeypatch):
+    """Forced-branch equivalence (VERDICT r03 #1): with the broadcast gate
+    at 0, the flagship's merge path must run fully as Datasets —
+    composition, triple remap, terms remap — with the broadcast remaps
+    never called, and produce an identical decoded graph."""
+    import raydf.pipeline as pl
+    from raydf import canonicalize as cz
+
+    common = dict(link_entities=True, buckets=4, num_partitions=4,
+                  max_rounds=8, max_generations=2)
+    m_b = kg_pipeline(source_code_dataset(60), str(tmp_path / "bcast"), **common)
+    assert m_b["merged_entities"] > 0
+
+    def boom(*a, **k):
+        raise AssertionError("broadcast path used on the joined branch")
+
+    monkeypatch.setattr(cz, "MAPPING_BROADCAST_LIMIT", 0)
+    monkeypatch.setattr(pl, "remap_triples", boom)
+    monkeypatch.setattr(pl, "remap_terms", boom)
+    monkeypatch.setattr(pl, "compose_mappings", boom)
+    m_j = kg_pipeline(source_code_dataset(60), str(tmp_path / "joined"), **common)
+    assert m_j["merged_entities"] == m_b["merged_entities"]
+    pd.testing.assert_frame_equal(_decoded_sorted(m_j), _decoded_sorted(m_b))
+
+
+def test_pipeline_distributed_pairs_matches_broadcast(tmp_path, monkeypatch):
+    """Forcing BOTH gates to 0 additionally routes the Eq pair sets through
+    distributed min-label propagation (no driver union-find at all); the
+    decoded graph must still be identical."""
+    import raydf.pipeline as pl
+    from raydf import canonicalize as cz
+
+    common = dict(link_entities=True, buckets=4, num_partitions=4,
+                  max_rounds=8, max_generations=2)
+    m_b = kg_pipeline(source_code_dataset(60), str(tmp_path / "bcast"), **common)
+
+    def boom(*a, **k):
+        raise AssertionError("driver union-find called on the distributed branch")
+
+    monkeypatch.setattr(cz, "DRIVER_PAIR_LIMIT", 0)
+    monkeypatch.setattr(cz, "MAPPING_BROADCAST_LIMIT", 0)
+    monkeypatch.setattr(cz, "canonical_mapping_driver", boom)
+    monkeypatch.setattr(pl, "remap_triples", boom)
+    monkeypatch.setattr(pl, "remap_terms", boom)
+    monkeypatch.setattr(pl, "compose_mappings", boom)
+    m_j = kg_pipeline(source_code_dataset(60), str(tmp_path / "dist"), **common)
+    assert m_j["merged_entities"] == m_b["merged_entities"] > 0
+    pd.testing.assert_frame_equal(_decoded_sorted(m_j), _decoded_sorted(m_b))
+
+
 def test_resume_skips_completed_stages(pipeline_run):
     wd, metrics = pipeline_run
     m2 = kg_pipeline(
