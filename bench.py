@@ -81,6 +81,7 @@ def run_headline(sf_dir: str, workdir: str, num_cpus: int = 32) -> dict:
         "seconds": dt,
         "triples": triples,
         "triples_per_sec": triples / dt if dt > 0 else 0.0,
+        "stages": {k: round(v, 3) for k, v in metrics["stages"].items()},
     }
 
 
@@ -170,6 +171,7 @@ def single_run(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         "num_cpus": num_cpus,
         "triples": head["triples"],
         "triples_per_sec": round(head["triples_per_sec"], 1),
+        "stages": head["stages"],
     }
 
 
@@ -253,6 +255,8 @@ def scaling_run(sf_dir: str, low: int, high: int, scale_files: int) -> dict:
         "throughput_high_tps": th["triples_per_sec"],
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
+        "stages_low": tl.get("stages", {}),
+        "stages_high": th.get("stages", {}),
     }
 
 

@@ -3,14 +3,19 @@
 checkout). BASELINE.json north_star fixes the layout: a
 **dictionary-encoded triple store sorted by (subj, pred)**:
 
-* ``<out>/triples/`` — Parquet, globally sorted by (subj, pred) via
-  ``Dataset.sort`` (range-partitioned shuffle), multiple part files so a
-  re-run can verify/skip finished ranges; int64 ids only.
+* ``<out>/triples/bucket=K/`` — Parquet, hash-bucketed by subj
+  (``_mix_mod(subj, B)``) and **sorted by (subj, pred) within each
+  bucket**. A subject's triples live entirely in one bucket directory in
+  (subj, pred) order — the same point-lookup / merge-scan contract as a
+  global sort, without the global range exchange: the all-to-all becomes
+  ONE deterministic hash shuffle with no range-sampling pass, each bucket
+  is independently resumable/verifiable, and readers prune to
+  ``bucket=_mix_mod(subj, B)`` for point lookups (SURVEY §1.2 layout).
 * ``<out>/terms/``   — the term dictionary (id → kind/lexical/datatype,
   plus canonical_id after Eq merges) — the "dictionary" of the encoding.
 
 ``decode_triples`` joins the two back into lexical form for tests,
-oracles and exports.
+oracles and exports (order-insensitive, so both layouts decode alike).
 """
 
 from __future__ import annotations
@@ -27,14 +32,91 @@ def materialize_graph(
     out_dir: str,
     *,
     min_rows_per_file: int = 500_000,
+    sort_buckets: int | None = None,
 ) -> dict:
+    """Write the (subj,pred)-ordered bucketed store.
+
+    ``sort_buckets`` defaults to ``joins.default_partitions()`` (2× cluster
+    CPUs) — each bucket is sorted in one task, so B bounds both the reduce
+    parallelism and the per-task memory (≈ triples/B rows)."""
+    import pyarrow as pa
+
+    from raydf.canonicalize import _mix_mod
+    from raydf.joins import default_partitions
+
+    B = sort_buckets if sort_buckets is not None else default_partitions()
     triples_dir = os.path.join(out_dir, "triples")
     terms_dir = os.path.join(out_dir, "terms")
-    triples_ds.sort(["subj", "pred"]).write_parquet(
-        triples_dir, min_rows_per_file=min_rows_per_file, mode="overwrite"
+
+    if os.environ.get("RAYDF_GLOBAL_SORT", "0") != "0":
+        # A/B control: the pre-r04 global range-partitioned sort
+        triples_ds.sort(["subj", "pred"]).write_parquet(
+            triples_dir, min_rows_per_file=min_rows_per_file, mode="overwrite"
+        )
+        terms_ds.write_parquet(
+            terms_dir, min_rows_per_file=min_rows_per_file, mode="overwrite"
+        )
+        return {"triples": triples_dir, "terms": terms_dir}
+
+    def tag(t: pa.Table) -> pa.Table:
+        subj = t["subj"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_mix_mod(subj, B), pa.int64()))
+
+    def sort_bucket(t: pa.Table) -> pa.Table:
+        return t.sort_by([("subj", "ascending"), ("pred", "ascending")])
+
+    (
+        triples_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sort_bucket, batch_format="pyarrow")
+        .write_parquet(
+            triples_dir,
+            partition_cols=["bucket"],
+            min_rows_per_file=min_rows_per_file,
+            mode="overwrite",
+        )
     )
+    # readers prune point lookups to bucket=_mix_mod(subj, B) — B must be
+    # discoverable without listing (empty buckets write no directory)
+    with open(os.path.join(triples_dir, "_BUCKETS"), "w") as f:
+        f.write(str(B))
     terms_ds.write_parquet(terms_dir, min_rows_per_file=min_rows_per_file, mode="overwrite")
     return {"triples": triples_dir, "terms": terms_dir}
+
+
+def store_buckets(out_dir: str) -> int | None:
+    """Bucket count of a materialized store (None = global-sort layout)."""
+    p = os.path.join(out_dir, "triples", "_BUCKETS")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def lookup_subject(out_dir: str, subj: int):
+    """Point lookup: prune to the subject's bucket directory, then a
+    predicate-pushdown Parquet scan — touches 1/B of the store."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from raydf.canonicalize import _mix_mod
+
+    B = store_buckets(out_dir)
+    if B is None:
+        root = os.path.join(out_dir, "triples")
+    else:
+        k = int(_mix_mod(np.asarray([subj], dtype=np.int64), B)[0])
+        root = os.path.join(out_dir, "triples", f"bucket={k}")
+        if not os.path.exists(root):  # empty bucket — subject absent
+            import pyarrow as pa
+
+            return pa.table(
+                {"subj": pa.array([], pa.int64()), "pred": pa.array([], pa.int64()),
+                 "obj": pa.array([], pa.int64()), "sign": pa.array([], pa.bool_())}
+            )
+    ds = pads.dataset(root, format="parquet")
+    cols = [c for c in ("subj", "pred", "obj", "sign") if c in ds.schema.names]
+    return ds.to_table(columns=cols, filter=pads.field("subj") == subj)
 
 
 def decode_triples(triples_ds, terms, *, num_partitions: int = 16):
@@ -155,7 +237,12 @@ def _decode_joined(triples_ds, terms_ds, *, num_partitions: int | None = None):
 
 
 def read_graph(out_dir: str):
-    return rd.read_parquet(os.path.join(out_dir, "triples"))
+    """Scan the triple store; the hive ``bucket`` partition column (string
+    at read time) is dropped so both layouts present the same schema."""
+    ds = rd.read_parquet(os.path.join(out_dir, "triples"))
+    if "bucket" in ds.schema().names:
+        ds = ds.drop_columns(["bucket"])
+    return ds
 
 
 def decode_graph(out_dir: str):

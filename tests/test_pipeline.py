@@ -73,17 +73,41 @@ def test_pipeline_structural_and_derived_triples(pipeline_run):
 
 def test_pipeline_no_duplicate_triples(pipeline_run):
     _, metrics = pipeline_run
-    files = glob.glob(os.path.join(metrics["graph_dir"], "triples", "*.parquet"))
+    files = glob.glob(
+        os.path.join(metrics["graph_dir"], "triples", "**", "*.parquet"),
+        recursive=True,
+    )
     df = pq.read_table(files, columns=["subj", "pred", "obj", "sign"]).to_pandas()
     assert not df.duplicated().any()
 
 
-def test_materialized_store_sorted_by_subj_pred(pipeline_run):
+def test_materialized_store_bucketed_sorted_by_subj_pred(pipeline_run):
+    """SURVEY §1.2 layout: triples/bucket=K/ dirs, each pure in subj-hash
+    and (subj, pred)-sorted within — a subject's triples are one contiguous
+    sorted run inside exactly one bucket."""
+    from raydf.canonicalize import _mix_mod
+
     _, metrics = pipeline_run
-    files = sorted(glob.glob(os.path.join(metrics["graph_dir"], "triples", "*.parquet")))
-    df = pq.read_table(files, columns=["subj", "pred"]).to_pandas()
-    key = list(zip(df["subj"], df["pred"]))
-    assert key == sorted(key)
+    bucket_dirs = sorted(
+        glob.glob(os.path.join(metrics["graph_dir"], "triples", "bucket=*"))
+    )
+    assert bucket_dirs, "expected hive-style bucket=K directories"
+    B = max(int(os.path.basename(d).split("=")[1]) for d in bucket_dirs) + 1
+    seen_subj_bucket: dict[int, int] = {}
+    for d in bucket_dirs:
+        k = int(os.path.basename(d).split("=")[1])
+        df = pq.read_table(
+            sorted(glob.glob(os.path.join(d, "*.parquet"))),
+            columns=["subj", "pred"],
+        ).to_pandas()
+        # bucket purity: every subject hashes to this bucket (so any B' >= B
+        # used at read time prunes point lookups to one directory)
+        hashes = _mix_mod(df["subj"].to_numpy(), B)
+        assert (hashes == k).all()
+        key = list(zip(df["subj"], df["pred"]))
+        assert key == sorted(key)
+        for s in df["subj"].unique():
+            assert seen_subj_bucket.setdefault(int(s), k) == k
 
 
 def test_sha256_invariant_per_row(pipeline_run):
