@@ -660,8 +660,13 @@ def _kg_eq_canonicalize(sf_dir: str):
     rep = cust.groupby("c_nationkey")["c_custkey"].transform("min")
     pairs = pd.DataFrame({"a": cust["c_custkey"], "b": rep})
     mapping = canonical_mapping_driver(pairs[pairs["a"] != pairs["b"]])
-    m = dict(zip(mapping["node"], mapping["canon"]))
-    canon = cust["c_custkey"].map(lambda x: m.get(x, x)).astype(np.int64)
+    m = pd.Series(
+        mapping["canon"].to_numpy(np.int64),
+        index=mapping["node"].to_numpy(np.int64),
+    )
+    canon = (
+        cust["c_custkey"].map(m).fillna(cust["c_custkey"]).astype(np.int64)
+    )
     return pa.table(
         {
             "node": pa.array(cust["c_custkey"].to_numpy(np.int64), pa.int64()),
@@ -935,6 +940,71 @@ def _ann_ivf_recall(sf_dir: str):
     )
 
 
+def _ann_ivfpq_topk(sf_dir: str):
+    """Hash-checked IVF-PQ recall on the same planted fixture as
+    ann_ivf_recall: 5 exact copies of each query vector are added, so the
+    true cosine top-6 per query is exactly {query, its 5 copies}. The Ray
+    side runs the full composed index — coarse IVF (nprobe=4 of 16) →
+    ADC scan over exact-integer PQ codes (m=8, 16 codes) → exact-cosine
+    rerank of the top rerank·k candidates — and emits recall@6 vs in-Ray
+    brute force; the oracle emits the planted-set recall of ITS
+    brute-force top-6. Both equal 1e6 iff the PQ candidate scan surfaces
+    the planted neighbors (identical vectors share both the coarse
+    centroid and the PQ codes, so their ADC distance ties the query's own
+    reconstruction — rerank then restores exact order)."""
+    import pyarrow.compute as pc
+
+    from raydf.datapipe.ann import cosine_topk, ivfpq_index, ivfpq_search
+
+    qids = [0, 7, 13]
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qset = pa.array(qids, pa.int64())
+    qdf = (
+        emb.map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qset)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index("vec_id")
+    )
+
+    def planted(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.is_in(t["vec_id"], value_set=qset))
+        tabs = [
+            pa.table(
+                {
+                    "vec_id": pc.add(
+                        pc.multiply(keep["vec_id"], 100), 2_000_000 + c
+                    ),
+                    "embedding": keep["embedding"],
+                }
+            )
+            for c in range(5)
+        ]
+        return pa.concat_tables(tabs)
+
+    aug = emb.union(emb.map_batches(planted, batch_format="pyarrow")).materialize()
+    dim = len(qdf["embedding"].iloc[0])
+    index, cents, cbs = ivfpq_index(aug, dim, m=8, k_codes=16, n_centroids=16)
+    index = index.materialize()
+    out_q, out_r = [], []
+    for qid in qids:
+        q = np.asarray(qdf.loc[qid, "embedding"], np.float32)
+        pq_top = ivfpq_search(index, aug, q, cents, cbs, k=6, nprobe=4, rerank=8)
+        bf = cosine_topk(aug, q, k=6)
+        inter = set(pq_top["vec_id"].astype(np.int64)) & set(
+            bf["vec_id"].astype(np.int64)
+        )
+        out_q.append(qid)
+        out_r.append(len(inter) * 1_000_000 // 6)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "recall_e6": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
 def _ann_ivf_full_probe(sf_dir: str):
     """SQL-checked IVF plumbing: probing ALL buckets (nprobe == n_centroids)
     makes index→probe→rerank exactly brute-force top-k, so the DuckDB
@@ -1088,13 +1158,19 @@ def _pack_chunks(sf_dir: str):
 
 
 def _multimodal_featurize(sf_dir: str):
+    """Hash-checked real-container decode: 256 actual 32×32 greyscale PNGs
+    (pixels = sha256 digest ×32, payload = true zlib/chunk/filter encoding)
+    through the actor-pool featurizer. The emitted integer checksums
+    (px_sum, position-weighted px_wsum) prove the vendored PNG decode
+    (raydf/datapipe/png.py) recovered every pixel byte in order; the
+    oracle rebuilds the pixels from sha256 hex without ever seeing a PNG."""
     import ray.data as rd
 
-    from raydf.datapipe.multimodal import featurize, synthetic_media_table
+    from raydf.datapipe.multimodal import featurize, synthetic_png_table
 
-    media = rd.from_arrow(synthetic_media_table(256))
+    media = rd.from_arrow(synthetic_png_table(256))
     out = featurize(media, concurrency=2, batch_size=64)
-    return out.select_columns(["media_id", "decoded"])
+    return out.select_columns(["media_id", "decoded", "px_sum", "px_wsum"])
 
 
 def _repetition_scores(sf_dir: str):
@@ -1425,6 +1501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_recall": _ann_ivf_recall,
         "ann_ivf_full_probe": _ann_ivf_full_probe,
+        "ann_ivfpq_topk": _ann_ivfpq_topk,
         "ngram_jaccard_docs": _ngram_jaccard_docs,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,
@@ -1985,6 +2062,37 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn <= 6
             GROUP BY qid
         """,
+        # same planted-recall oracle shape as ann_ivf_recall: the composed
+        # IVF→ADC→rerank path must retrieve exactly the planted top-6
+        "ann_ivfpq_topk": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT q.vec_id * 100 + 2000000 + c.c AS vec_id, q.embedding
+                FROM embeddings q,
+                     (SELECT unnest(generate_series(0, 4)) AS c) c
+                WHERE q.vec_id IN (0, 7, 13)
+            ), qs AS (
+                SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                WHERE vec_id IN (0, 7, 13)
+            ), ranked AS (
+                SELECT qs.qid, aug.vec_id,
+                       row_number() OVER (
+                           PARTITION BY qs.qid
+                           ORDER BY list_cosine_similarity(aug.embedding, qs.qe)
+                                    DESC, aug.vec_id
+                       ) AS rn
+                FROM aug, qs
+            )
+            SELECT qid AS query_id,
+                   CAST(SUM(CASE WHEN vec_id = qid
+                                   OR (vec_id >= 2000000
+                                       AND (vec_id - 2000000) // 100 = qid)
+                                 THEN 1 ELSE 0 END) * 1000000 // 6
+                        AS BIGINT) AS recall_e6
+            FROM ranked WHERE rn <= 6
+            GROUP BY qid
+        """,
         "embedding_neardup": """
             WITH aug AS (
                 SELECT vec_id, embedding FROM embeddings
@@ -2340,6 +2448,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(rho AS BIGINT) AS rho,
                    COUNT(*) AS n_registers
             FROM regs GROUP BY 1, 2
+        """,
+        "multimodal_featurize": """
+            -- rebuild the PNG fixtures' pixels (sha256('image-'||i) digest
+            -- repeated 32x, row-major 32x32) and recompute the decode
+            -- checksums: pixel[pos] = digest[pos % 32], so
+            --   px_sum  = 32 * SUM(byte)
+            --   px_wsum = SUM(byte * (32*(bi+1) + 15872))
+            -- (SUM over rep of rep*32+bi+1 for rep in 0..31 =
+            --  32*(bi+1) + 32*496). The Ray side got these numbers by
+            -- actually inflating and unfiltering the PNG payloads.
+            WITH ids AS (
+              SELECT unnest(generate_series(0, 255)) AS media_id
+            ), hexmap(c, v) AS (
+              VALUES ('0',0),('1',1),('2',2),('3',3),('4',4),('5',5),('6',6),
+                     ('7',7),('8',8),('9',9),('a',10),('b',11),('c',12),
+                     ('d',13),('e',14),('f',15)
+            ), dig AS (
+              SELECT media_id, sha256('image-' || media_id) AS h FROM ids
+            ), bytes AS (
+              SELECT d.media_id, t.bi, 16 * h1.v + h2.v AS byte
+              FROM dig d
+              CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bi) t
+              JOIN hexmap h1 ON h1.c = substring(d.h, 2 * t.bi + 1, 1)
+              JOIN hexmap h2 ON h2.c = substring(d.h, 2 * t.bi + 2, 1)
+            )
+            SELECT media_id, TRUE AS decoded,
+                   CAST(32 * SUM(byte) AS BIGINT) AS px_sum,
+                   CAST(SUM(byte * (32 * (bi + 1) + 15872)) AS BIGINT)
+                       AS px_wsum
+            FROM bytes GROUP BY media_id ORDER BY media_id
         """,
         "multimodal_histogram": """
             -- rebuild the synthetic payload (sha256('image-'||i) digest

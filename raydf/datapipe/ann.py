@@ -251,3 +251,132 @@ def ivf_search(indexed_ds, query: np.ndarray, centroids: np.ndarray, *,
         batch_format="pyarrow",
     )
     return cosine_topk(pruned, q, k=k, id_col=id_col, vec_col=vec_col, dtype=dtype)
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+
+def ivfpq_index(embeds_ds, dim: int, *, m: int = 8, k_codes: int = 16,
+                n_centroids: int = 16, pq_iters: int = 2,
+                vec_col: str = "embedding", id_col: str = "vec_id"):
+    """IVF coarse quantizer + PQ codes composed into ONE index Dataset —
+    the round-3 :func:`raydf.datapipe.cluster.pq_encode` codes actually
+    *used* by search.
+
+    Returns ``(index_ds, centroids, codebooks)``: ``index_ds`` rows are
+    ``(vec_id, centroid:int32, codes: fixed_size_list<int64>[m])`` —
+    m·log2(k) bits of payload per vector instead of d·32, so the probe
+    scan streams codes only and never touches the raw vectors.
+    ``centroids`` (coarse, float32) and ``codebooks`` (the exact-integer
+    (m, k, d/m) tensor from :func:`~raydf.datapipe.cluster.pq_train`) are
+    tiny driver arrays that search must reuse — index and search have to
+    agree on both quantizers."""
+    import ray
+
+    from raydf.datapipe import cluster as cl
+
+    codebooks = cl.pq_train(
+        embeds_ds, m=m, k=k_codes, iters=pq_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    indexed, cents = ivf_index(
+        embeds_ds, dim, n_centroids=n_centroids,
+        vec_col=vec_col, id_col=id_col,
+    )
+    assert dim % m == 0
+    dsub = dim // m
+    cbref = ray.put(codebooks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cb = ray.get(cbref)
+        x = cl.quantize(_vec_matrix(batch, vec_col)).reshape(-1, m, dsub)
+        n = x.shape[0]
+        codes = np.empty((n, m), np.int64)
+        for s in range(m):
+            codes[:, s] = cl.assign(x[:, s, :], cb[s])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "centroid": batch["centroid"],
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), pa.int64()), m
+                ),
+            }
+        )
+
+    return indexed.map_batches(encode, batch_format="pyarrow"), cents, codebooks
+
+
+def ivfpq_search(index_ds, embeds_ds, query: np.ndarray,
+                 centroids: np.ndarray, codebooks: np.ndarray, *,
+                 k: int = 10, nprobe: int = 4, rerank: int = 8,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 dtype=np.float32) -> pd.DataFrame:
+    """IVF-PQ search: ADC candidate scan over the probed buckets' codes,
+    then an exact-cosine rerank of the best ``rerank·k`` candidates.
+
+    Stage 1 probes the ``nprobe`` nearest coarse centroids and ranks their
+    rows by asymmetric distance — ``Σ_s lut[s, code_s]`` where
+    ``lut[s, c] = ‖q_s − codebook[s, c]‖²`` in the exact int64 quantized
+    space (one (m, k) table per query, built driver-side; the scan is a
+    vectorized gather + row-sum per batch, and only ``rerank·k`` candidate
+    rows per block leave the worker). Stage 2 fetches the candidates'
+    exact vectors via an ``is_in``-pruned pass over ``embeds_ds`` and
+    reranks by true cosine (the comparator :func:`cosine_topk` uses) —
+    standard ADC-then-rerank, so recall is gated by candidate coverage,
+    not by PQ reconstruction error."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    from raydf.datapipe import cluster as cl
+
+    m, kc, dsub = codebooks.shape
+    dim = m * dsub
+    q = np.asarray(query, dtype=np.float64)
+    qn = (q / (np.linalg.norm(q) or 1.0)).astype(np.float32)
+    cents = _normalize(centroids.astype(np.float32))
+    probe = np.sort(np.argsort(-(cents @ qn))[:nprobe]).astype(np.int32)
+
+    # ADC lookup table in the SAME quantized space the codes live in
+    qq = cl.quantize(np.asarray(query, np.float32)[None, :]).reshape(m, dsub)
+    diff = qq[:, None, :] - codebooks  # (m, k, dsub) int64
+    lut = np.einsum("mkd,mkd->mk", diff, diff)  # exact int64
+    n_cand = max(k * rerank, k)
+    lref = ray.put(lut)
+    pref = ray.put(probe)
+
+    def block_cands(batch: pa.Table) -> pa.Table:
+        lt, pr = ray.get(lref), ray.get(pref)
+        t = batch.filter(
+            pc.is_in(batch["centroid"], value_set=pa.array(pr, pa.int32()))
+        )
+        empty = pa.table(
+            {id_col: pa.array([], pa.int64()), "adc": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        codes_arr = t["codes"]
+        if isinstance(codes_arr, pa.ChunkedArray):
+            codes_arr = codes_arr.combine_chunks()
+        codes = codes_arr.values.to_numpy(zero_copy_only=False).reshape(-1, m)
+        dists = lt[np.arange(m)[None, :], codes].sum(axis=1)
+        take = min(n_cand, len(dists))
+        idx = np.argpartition(dists, take - 1)[:take]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids[idx], pa.int64()),
+                "adc": pa.array(dists[idx], pa.int64()),
+            }
+        )
+
+    partials = index_ds.map_batches(block_cands, batch_format="pyarrow").to_pandas()
+    cand = partials.nsmallest(n_cand, "adc")[id_col].to_numpy(np.int64)
+    cand_set = pa.array(np.sort(cand), pa.int64())
+
+    exact = embeds_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=cand_set)),
+        batch_format="pyarrow",
+    )
+    return cosine_topk(exact, q, k=k, id_col=id_col, vec_col=vec_col, dtype=dtype)

@@ -139,21 +139,12 @@ def kmeans_assign(embeds, *, k: int = 8, iters: int = 2,
 # ------------------------------------------------- product quantization
 
 
-def pq_encode(embeds, *, m: int = 8, k: int = 16, iters: int = 2,
-              id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Product-quantization codes: split each vector into ``m`` contiguous
-    subspaces, run the same exact-integer Lloyd as :func:`kmeans_assign`
-    independently per subspace (``k`` codes each), and emit one
-    ``(vec_id, s, code)`` row per subspace — the compressed representation
-    an IVF-PQ index stores (codes are m·log2(k) bits per vector vs d·32).
-
-    All subspaces train in the SAME streaming passes: one broadcast of the
-    (m, k, d/m) codebook tensor per iteration, per-batch integer-matmul
-    assignments per subspace, (m·k) partial rows per block to the driver
-    reduce. Deterministic contract identical to kmeans_assign (quantized
-    int64, floor-division updates, first-argmin tie-break, seeds = the
-    vectors of ids 0..k-1 sliced per subspace), so the whole train+encode
-    path unrolls into a SQL oracle grouped by subspace."""
+def pq_train(embeds, *, m: int = 8, k: int = 16, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Train the (m, k, d/m) int64 PQ codebook tensor — the training loop
+    of :func:`pq_encode`, exposed so IVF-PQ search
+    (:func:`raydf.datapipe.ann.ivfpq_search`) builds its ADC lookup tables
+    from the EXACT codebooks the stored codes were assigned against."""
     full = _init_centroids(embeds, k, id_col=id_col, vec_col=vec_col)
     dim = full.shape[1]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
@@ -195,6 +186,27 @@ def pq_encode(embeds, *, m: int = 8, k: int = 16, iters: int = 2,
         nz = counts > 0
         new[nz] = np.floor_divide(sums[nz], counts[nz, None])
         cents = new
+    return cents
+
+
+def pq_encode(embeds, *, m: int = 8, k: int = 16, iters: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Product-quantization codes: split each vector into ``m`` contiguous
+    subspaces, run the same exact-integer Lloyd as :func:`kmeans_assign`
+    independently per subspace (``k`` codes each), and emit one
+    ``(vec_id, s, code)`` row per subspace — the compressed representation
+    an IVF-PQ index stores (codes are m·log2(k) bits per vector vs d·32).
+
+    All subspaces train in the SAME streaming passes: one broadcast of the
+    (m, k, d/m) codebook tensor per iteration, per-batch integer-matmul
+    assignments per subspace, (m·k) partial rows per block to the driver
+    reduce. Deterministic contract identical to kmeans_assign (quantized
+    int64, floor-division updates, first-argmin tie-break, seeds = the
+    vectors of ids 0..k-1 sliced per subspace), so the whole train+encode
+    path unrolls into a SQL oracle grouped by subspace."""
+    cents = pq_train(embeds, m=m, k=k, iters=iters,
+                     id_col=id_col, vec_col=vec_col)
+    dsub = cents.shape[2]
 
     ref = ray.put(cents)
 

@@ -78,13 +78,21 @@ def ngram_rows(docs, n: int = 3, *, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def decontaminate(train_docs, bench_docs, *, n: int = 3, num_partitions: int | None = None):
+def decontaminate(train_docs, bench_docs, *, n: int = 3,
+                  num_partitions: int | None = None, salt: int | None = None):
     """Per-train-document count of distinct word n-grams shared with the
     benchmark corpus: Dataset of ``(doc_id, n_overlap)`` with
     ``n_overlap ≥ 1`` (clean documents are absent — consumers anti-join or
     left-join-fill-0 as needed, both without re-scanning text).
 
-    ``train_docs`` / ``bench_docs``: any Datasets with (doc_id, text)."""
+    ``train_docs`` / ``bench_docs``: any Datasets with (doc_id, text).
+
+    ``salt=S``: exact hot-gram path — a gram carried by a large fraction
+    of the corpus (boilerplate, a viral snippet) serializes its partition;
+    salting spreads the train rows by ``splitmix64(doc_id) % S`` and
+    replicates the (small) benchmark gram set to every shard. The kernel
+    counts LEFT rows against a right membership set, so mixed salt shards
+    in one partition are harmless — no per-shard grouping needed."""
     tg = ngram_rows(train_docs, n)
     bg = ngram_rows(bench_docs, n).select_columns(["gram"])
 
@@ -105,6 +113,7 @@ def decontaminate(train_docs, bench_docs, *, n: int = 3, num_partitions: int | N
         out_schema_fn=lambda ls, rs: pa.schema(
             [pa.field("doc_id", pa.int64()), pa.field("n_partial", pa.int64())]
         ),
+        salt=salt, salt_col="doc_id" if salt and salt > 1 else None,
     )
 
     def total(df: pd.DataFrame) -> pd.DataFrame:

@@ -65,16 +65,44 @@ def synthetic_media_table(n: int, *, kind: str = "image") -> pa.Table:
     )
 
 
+def synthetic_png_table(n: int) -> pa.Table:
+    """Deterministic REAL-container fixtures: 32×32 greyscale PNGs whose
+    pixels are the sha256(``image-i``) digest repeated 32× (the same byte
+    contract as :func:`synthetic_media_table`, so a SQL oracle rebuilds
+    every pixel) — but the payload is an actual encoded PNG, so decoding
+    exercises zlib inflate + chunk parsing + unfiltering, not a cast."""
+    from raydf.datapipe.png import encode_png
+
+    ids = np.arange(n, dtype=np.int64)
+    payloads = []
+    for i in ids:
+        raw = hashlib.sha256(f"image-{i}".encode()).digest() * 32
+        payloads.append(encode_png(np.frombuffer(raw, np.uint8).reshape(32, 32)))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["image/png"] * n, pa.string()),
+            "width": pa.array([32] * n, pa.int32()),
+            "height": pa.array([32] * n, pa.int32()),
+            "duration_ms": pa.nulls(n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def decode_payload(payload: bytes, mime: str) -> np.ndarray:
     """Decode a media payload to a 2-D uint8 pixel array.
 
     * ``*/x-fake`` — deterministic pseudo-pixels (hash-derived bytes), the
       always-available plumbing-test path.
-    * ``image/*`` — real decode via PIL (grayscale), when the import-time
-      probe found it.
-    * anything else (or image/* without PIL) — NotImplementedError, routed
-      to ``decode_error`` rows by the featurizer rather than crashing the
-      stage."""
+    * ``image/png`` — real container decode: PIL when the import-time
+      probe found it, else the vendored pure-Python codec
+      (:mod:`raydf.datapipe.png` — zlib inflate, chunk parse, unfilter).
+    * other ``image/*`` — real decode via PIL when present.
+    * anything else — NotImplementedError, routed to ``decode_error`` rows
+      by the featurizer rather than crashing the stage."""
     if mime.endswith("/x-fake"):
         raw = np.frombuffer(payload, dtype=np.uint8)
         side = int(np.sqrt(len(raw)))
@@ -82,6 +110,10 @@ def decode_payload(payload: bytes, mime: str) -> np.ndarray:
     if mime.startswith("image/") and _PIL is not None:
         img = _PIL.open(io.BytesIO(payload))
         return np.asarray(img.convert("L"), dtype=np.uint8)
+    if mime == "image/png":
+        from raydf.datapipe import png
+
+        return png.to_grey(png.decode_png(payload))
     raise NotImplementedError(
         f"no codec for {mime}: install PIL (images) / torchaudio / pyav"
     )
@@ -101,7 +133,7 @@ class MediaFeaturizer:
         self.dim = feature_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats, ok, err = [], [], []
+        feats, ok, err, sums, wsums = [], [], [], [], []
         for payload, mime in zip(
             batch["payload"].to_pylist(), batch["mime"].to_pylist()
         ):
@@ -113,17 +145,26 @@ class MediaFeaturizer:
                 feats.append(v.tolist())
                 ok.append(True)
                 err.append(None)
+                # integer decode checksums — the SQL-checkable contract
+                # (position-weighted, so any pixel reorder/corruption shows)
+                flat = px.reshape(-1).astype(np.int64)
+                sums.append(int(flat.sum()))
+                wsums.append(int((flat * (np.arange(len(flat)) + 1)).sum()))
             except Exception as e:  # absent codec OR corrupt payload —
                 # either way: an error ROW, never a crashed stage
                 feats.append([0.0] * self.dim)
                 ok.append(False)
                 err.append(str(e) or type(e).__name__)
+                sums.append(0)
+                wsums.append(0)
         out = batch.select(["media_id", "kind"])
         out = out.append_column(
             "features", pa.array(feats, pa.list_(pa.float32(), self.dim))
         )
         out = out.append_column("decoded", pa.array(ok, pa.bool_()))
         out = out.append_column("decode_error", pa.array(err, pa.string()))
+        out = out.append_column("px_sum", pa.array(sums, pa.int64()))
+        out = out.append_column("px_wsum", pa.array(wsums, pa.int64()))
         return out
 
 

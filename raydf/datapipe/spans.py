@@ -108,7 +108,8 @@ def ngram_pos_rows(docs, n: int = 4, *, text_col: str = "text", id_col: str = "d
 
 
 def dup_span_stats(docs, *, n: int = 4, num_partitions: int | None = None,
-                   text_col: str = "text", id_col: str = "doc_id"):
+                   text_col: str = "text", id_col: str = "doc_id",
+                   salt: int | None = None):
     """Per-document cross-corpus duplication score: Dataset of
     ``(doc_id, n_spans, n_dup_spans)`` where ``n_spans`` counts the doc's
     DISTINCT word n-grams and ``n_dup_spans`` those of them that also
@@ -117,7 +118,16 @@ def dup_span_stats(docs, *, n: int = 4, num_partitions: int | None = None,
 
     A training pipeline thresholds ``n_dup_spans / n_spans`` to drop or
     route heavily-duplicated documents before the (more expensive) scrub.
-    """
+
+    ``salt=S``: exact hot-gram path (equivalence-tested). The default ONE
+    gram exchange serializes a gram carried by most of the corpus into a
+    single task; the salted variant trades one exchange for three
+    skew-free ones — see :func:`_dup_span_stats_salted`."""
+    if salt and salt > 1:
+        return _dup_span_stats_salted(
+            docs, n=n, salt=salt, num_partitions=num_partitions,
+            text_col=text_col, id_col=id_col,
+        )
     grams = ngram_pos_rows(docs, n, text_col=text_col, id_col=id_col)
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
@@ -153,6 +163,131 @@ def dup_span_stats(docs, *, n: int = 4, num_partitions: int | None = None,
 
     # partials are tiny (≤ docs × partitions rows); small second shuffle
     return partitioned_group_map(p, [id_col], total, num_partitions=8)
+
+
+def _dup_span_stats_salted(docs, *, n: int, salt: int,
+                           num_partitions: int | None,
+                           text_col: str, id_col: str):
+    """Skew-free exact variant of :func:`dup_span_stats`.
+
+    A power-law gram (site boilerplate, a viral snippet) makes the
+    default single gram exchange land most of the corpus in one task.
+    This path splits every stage of the computation by
+    ``__salt = splitmix64(doc_id) % S``, which is EXACT because each
+    distinct (doc, gram) pair has one home shard:
+
+    1. (gram, salt)-keyed exchange → in-shard ``drop_duplicates`` gives
+       the globally-distinct (doc, gram) set; the hot gram spreads over S
+       tasks. Materialized once — three consumers below.
+    2. ``n_spans``: per-batch per-doc partial counts → small doc-keyed sum.
+    3. dup-gram set: per-batch per-gram partial counts → native groupby
+       sum (pre-aggregated: the hot gram is ≤1 row per block) → grams
+       with ≥2 docs.
+    4. ``n_dup_spans``: salted membership exchange (the decontam kernel
+       shape — dup grams replicate ×S, doc rows split by salt), per-doc
+       partials → the same doc-keyed sum as 2 (one union’d exchange).
+    """
+    import pyarrow.compute as pc
+
+    from raydf.canonicalize import _mix_mod
+
+    S = salt
+    grams = ngram_pos_rows(docs, n, text_col=text_col, id_col=id_col)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "gram": t["gram"],
+                "__salt": pa.array(_mix_mod(ids, S), pa.int64()),
+            }
+        )
+
+    def shard_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[id_col, "gram"]].drop_duplicates()
+
+    dg = partitioned_group_map(
+        grams.map_batches(tag, batch_format="pyarrow"),
+        ["gram", "__salt"], shard_distinct, num_partitions=num_partitions,
+    ).materialize()  # genuinely reused 3× below (spans, gram counts, dup)
+
+    def span_partial(t: pa.Table) -> pa.Table:
+        g = t.select([id_col]).to_pandas().groupby(id_col, sort=False).size()
+        return pa.table(
+            {
+                id_col: pa.array(g.index.to_numpy(np.int64), pa.int64()),
+                "n_spans_p": pa.array(g.to_numpy(np.int64), pa.int64()),
+                "n_dup_p": pa.array(np.zeros(len(g), np.int64), pa.int64()),
+            }
+        )
+
+    spans_p = dg.map_batches(span_partial, batch_format="pyarrow")
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["gram"]).to_pandas().groupby("gram", sort=False).size()
+        return pa.table(
+            {
+                "gram": pa.array(g.index.tolist(), pa.string()),
+                "n": pa.array(g.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    dup_grams = (
+        dg.map_batches(gram_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .sum("n")
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["sum(n)"], 2)).select(["gram"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def hit_partials(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype=np.int64),
+                    "n_spans_p": pd.Series([], dtype=np.int64),
+                    "n_dup_p": pd.Series([], dtype=np.int64),
+                }
+            )
+        hits = l[l["gram"].isin(set(r["gram"]))]
+        vc = hits[id_col].value_counts()
+        return pd.DataFrame(
+            {
+                id_col: vc.index.to_numpy(np.int64),
+                "n_spans_p": np.zeros(len(vc), np.int64),
+                "n_dup_p": vc.to_numpy(np.int64),
+            }
+        )
+
+    dup_p = _two_sided_partition_map(
+        dg, dup_grams, ["gram"], hit_partials,
+        num_partitions=num_partitions,
+        out_schema_fn=lambda ls, rs: pa.schema(
+            [
+                pa.field(id_col, pa.int64()),
+                pa.field("n_spans_p", pa.int64()),
+                pa.field("n_dup_p", pa.int64()),
+            ]
+        ),
+        salt=S, salt_col=id_col,
+    )
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, sort=False)[["n_spans_p", "n_dup_p"]].sum()
+        return pd.DataFrame(
+            {
+                id_col: g.index.to_numpy(np.int64),
+                "n_spans": g["n_spans_p"].to_numpy(np.int64),
+                "n_dup_spans": g["n_dup_p"].to_numpy(np.int64),
+            }
+        )
+
+    return partitioned_group_map(
+        spans_p.union(dup_p), [id_col], total, num_partitions=8
+    )
 
 
 def dup_span_covered(docs, *, n: int = 4, num_partitions: int | None = None,

@@ -33,6 +33,8 @@ def _two_sided_partition_map(
     *,
     num_partitions: int | None = None,
     out_schema_fn: Callable | None = None,
+    salt: int | None = None,
+    salt_col: str | None = None,
 ):
     """Tag sides → align schemas with typed nulls → union → ONE hash
     shuffle on ``by`` → ``part_fn(left_rows, right_rows)`` per partition.
@@ -40,11 +42,25 @@ def _two_sided_partition_map(
     Schema alignment uses each side's own Arrow types; a column present on
     both sides stays per-side (each side's tag only fills ITS columns, and
     the kernel re-selects per side), so same-named columns like ``ts`` on
-    both inputs are fine."""
+    both inputs are fine.
+
+    ``salt=S`` (opt-in, for hot ``by`` keys): LEFT rows additionally carry
+    ``__salt = splitmix64(left[salt_col]) % S`` and RIGHT rows are
+    replicated once per salt value, with the shuffle keyed on
+    ``by + [__salt]`` — a hot key's left rows fan out over S tasks while
+    every shard still sees the key's full right side. Exact for
+    left-row-shaped kernels (each left row is processed exactly once);
+    kernels that aggregate RIGHT rows per group must group on
+    ``by + ['__salt']`` (``__salt`` is exposed in both frames). Right-side
+    data volume for the salted keys is ×S — size S to the straggler, not
+    the cluster."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     by = list(by)
+    salted = bool(salt and salt > 1)
+    if salted:
+        assert salt_col is not None, "salt requires salt_col (an int64 LEFT column)"
     P = num_partitions if num_partitions is not None else default_partitions()
     from raydf.joins import arrow_schema
 
@@ -55,9 +71,14 @@ def _two_sided_partition_map(
     types.update({n: ls.field(n).type for n in lcols})
     all_cols = lcols + [c for c in rcols if c not in lcols]
     out_schema = out_schema_fn(ls, rs) if out_schema_fn is not None else None
+    if salted:
+        lcols = lcols + ["__salt"]
+        rcols = rcols + ["__salt"]
 
     def tag(side: int, cols: frozenset):
         def f(t: pa.Table) -> pa.Table:
+            from raydf.canonicalize import _mix_mod
+
             keys = t.select(by).to_pandas()
             h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
             n = len(t)
@@ -65,8 +86,32 @@ def _two_sided_partition_map(
             for c in all_cols:
                 out[c] = t[c] if c in cols else pa.nulls(n, types[c])
             out["__side"] = pa.array(np.full(n, side, np.int8), pa.int8())
-            out["__p"] = pa.array((h % np.uint64(P)).astype(np.int64), pa.int64())
-            return pa.table(out)
+            if not salted:
+                out["__p"] = pa.array(
+                    (h % np.uint64(P)).astype(np.int64), pa.int64()
+                )
+                return pa.table(out)
+            if side == 0:
+                sv = t[salt_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                out["__salt"] = pa.array(_mix_mod(sv, salt), pa.int64())
+                out["__p"] = pa.array(
+                    ((h + np.uint64(0x9E3779B9) * out["__salt"].to_numpy().astype(np.uint64))
+                     % np.uint64(P)).astype(np.int64),
+                    pa.int64(),
+                )
+                return pa.table(out)
+            # right: replicate once per salt shard
+            tabs = []
+            for j in range(salt):
+                rep = dict(out)
+                rep["__salt"] = pa.array(np.full(n, j, np.int64), pa.int64())
+                rep["__p"] = pa.array(
+                    ((h + np.uint64(0x9E3779B9) * np.uint64(j))
+                     % np.uint64(P)).astype(np.int64),
+                    pa.int64(),
+                )
+                tabs.append(pa.table(rep))
+            return pa.concat_tables(tabs)
 
         return f
 
@@ -160,6 +205,7 @@ def range_join_count(
     hi: int,
     alias: str = "n_in_range",
     num_partitions: int | None = None,
+    salt: int | None = None,
 ):
     """Interval-count range join: for each left row, the number of right
     rows of the same ``by`` keys with ``on_right`` in
@@ -171,22 +217,33 @@ def range_join_count(
     ``np.searchsorted`` calls answer every left row at once — no per-row
     work, no left×right blowup. The encoding bounds
     ``groups_per_partition × (value_span + |lo| + |hi|)`` to int64 range
-    — asserted, and far from tight at practical partition widths."""
+    — asserted, and far from tight at practical partition widths.
+
+    ``salt=S``: exact hot-key path — left rows of a key spread over S
+    shards by ``splitmix64(on) % S`` and the key's right rows replicate to
+    each shard, so a power-law key (one viral user's events) becomes S
+    parallel tasks instead of one straggler. Counting is per LEFT row, so
+    salting changes nothing but the partitioning (equivalence-tested)."""
     by = list(by)
+    salted = bool(salt and salt > 1)
+    by_eff = by + (["__salt"] if salted else [])
 
     def part(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        out = l.copy()
+        # group on by+salt: hash collisions mod P can co-locate two salt
+        # shards of one key, and the key's right rows arrive once PER
+        # shard — merging shards would double-count them
+        out = l.drop(columns=["__salt"]) if salted else l.copy()
         if len(l) == 0:
             out[alias] = np.array([], np.int64)
             return out
         if len(r) == 0:
             out[alias] = np.zeros(len(l), np.int64)
             return out
-        keys = pd.concat([l[by], r[by]], ignore_index=True)
+        keys = pd.concat([l[by_eff], r[by_eff]], ignore_index=True)
         uniq = keys.drop_duplicates().reset_index(drop=True)
         uniq["__g"] = np.arange(len(uniq), dtype=np.int64)
-        lg = l[by].merge(uniq, on=by, how="left")["__g"].to_numpy(np.int64)
-        rg = r[by].merge(uniq, on=by, how="left")["__g"].to_numpy(np.int64)
+        lg = l[by_eff].merge(uniq, on=by_eff, how="left")["__g"].to_numpy(np.int64)
+        rg = r[by_eff].merge(uniq, on=by_eff, how="left")["__g"].to_numpy(np.int64)
         lt = l[on].to_numpy(np.int64)
         rt = r[on].to_numpy(np.int64)
         tmin = min(lt.min() + lo, rt.min())
@@ -209,6 +266,7 @@ def range_join_count(
     return _two_sided_partition_map(
         left, right, by, part,
         num_partitions=num_partitions, out_schema_fn=out_schema,
+        salt=salt, salt_col=on if salted else None,
     )
 
 

@@ -211,6 +211,55 @@ def test_ivf_trained_centroids_recall():
     assert recall >= 0.9, recall
 
 
+def test_ivfpq_search_recall_and_rerank_scores():
+    """Composed IVF→ADC→rerank: recall@10 ≥ 0.9 vs brute force on the
+    clustered fixture, and the reranked scores are EXACT cosines (rerank
+    reads the raw vectors, so returned scores must match brute force for
+    the intersecting ids)."""
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((10, 16)).astype(np.float32)
+    pts = np.concatenate(
+        [c + 0.05 * rng.standard_normal((40, 16)).astype(np.float32) for c in centers]
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(pts), dtype=np.int64), pa.int64()),
+            "embedding": pa.array(pts.tolist(), pa.list_(pa.float32(), 16)),
+        }
+    )
+    ds = rd.from_arrow(tbl).materialize()
+    q = pts[7]
+    brute = ann.cosine_topk(ds, q, k=10)
+    index, cents, cbs = ann.ivfpq_index(ds, 16, m=4, k_codes=16, n_centroids=10)
+    index = index.materialize()
+    got = ann.ivfpq_search(index, ds, q, cents, cbs, k=10, nprobe=2, rerank=4)
+    recall = len(set(brute["vec_id"]) & set(got["vec_id"])) / 10
+    assert recall >= 0.9, recall
+    bs = dict(zip(brute["vec_id"], brute["score"]))
+    for vid, s in zip(got["vec_id"], got["score"]):
+        if vid in bs:
+            assert abs(s - bs[vid]) < 1e-6
+
+
+def test_ivfpq_planted_copies_exact():
+    """5 exact copies of the query share its coarse centroid AND its PQ
+    codes — the ADC scan must surface all of them and rerank returns
+    exactly the planted set (the ann_ivfpq_topk driver contract)."""
+    tbl, m = embeddings_table(300, 16)
+    q = m[9]
+    copies = pa.table(
+        {
+            "vec_id": pa.array(np.arange(1000, 1005, dtype=np.int64), pa.int64()),
+            "embedding": pa.array([q.tolist()] * 5, tbl["embedding"].type),
+        }
+    )
+    ds = rd.from_arrow(pa.concat_tables([tbl, copies])).materialize()
+    index, cents, cbs = ann.ivfpq_index(ds, 16, m=4, k_codes=16, n_centroids=8)
+    got = ann.ivfpq_search(index.materialize(), ds, q, cents, cbs,
+                           k=6, nprobe=2, rerank=8)
+    assert set(got["vec_id"]) == {9, 1000, 1001, 1002, 1003, 1004}
+
+
 # ------------------------------------------------------------------ text
 
 
@@ -277,16 +326,29 @@ def test_multimodal_featurize_plumbing():
 
 
 def test_multimodal_real_mime_is_stubbed_not_crashing():
+    # jpeg: genuinely codec-less here (png now has the vendored decoder)
     tbl = multimodal.synthetic_media_table(4).set_column(
-        3, "mime", pa.array(["image/png"] * 4, pa.string())
+        3, "mime", pa.array(["image/jpeg"] * 4, pa.string())
     )
     out = multimodal.featurize(rd.from_arrow(tbl), concurrency=1, batch_size=4).to_pandas()
     assert (~out["decoded"]).all()
     if multimodal._PIL is None:
         assert out["decode_error"].str.contains("no codec").all()
     else:
-        # PIL present: the sha256-derived bytes are not a valid PNG — the
+        # PIL present: the sha256-derived bytes are not a valid JPEG — the
         # real decoder fails per-row, routed to the error column
+        assert out["decode_error"].notna().all()
+
+
+def test_multimodal_corrupt_png_routed_to_error_rows():
+    tbl = multimodal.synthetic_media_table(4).set_column(
+        3, "mime", pa.array(["image/png"] * 4, pa.string())
+    )
+    out = multimodal.featurize(rd.from_arrow(tbl), concurrency=1, batch_size=4).to_pandas()
+    assert (~out["decoded"]).all()
+    if multimodal._PIL is None:
+        assert out["decode_error"].str.contains("not a PNG").all()
+    else:
         assert out["decode_error"].notna().all()
 
 
@@ -313,7 +375,82 @@ def test_multimodal_decode_raises_without_codec():
     import pytest
 
     with pytest.raises(NotImplementedError, match="no codec"):
-        multimodal.decode_payload(b"\x89PNG\r\n", "image/png")
+        multimodal.decode_payload(b"\xff\xd8\xff\xe0", "image/jpeg")
+
+
+def test_png_roundtrip_grey_and_rgb():
+    from raydf.datapipe import png
+
+    rng = np.random.default_rng(5)
+    grey = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    np.testing.assert_array_equal(png.decode_png(png.encode_png(grey)), grey)
+    rgb = rng.integers(0, 256, (16, 9, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(png.decode_png(png.encode_png(rgb)), rgb)
+    rgba = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(png.decode_png(png.encode_png(rgba)), rgba)
+    # integer ITU-R 601 luma
+    g = png.to_grey(rgb)
+    r_, g_, b_ = (rgb[..., i].astype(np.int64) for i in range(3))
+    np.testing.assert_array_equal(g, ((299 * r_ + 587 * g_ + 114 * b_) // 1000).astype(np.uint8))
+
+
+def test_png_decoder_unfilters_all_filter_types():
+    """Hand-filter scanlines per the PNG spec (Sub/Up/Average/Paeth) and
+    check the decoder inverts each — the encoder only emits filter 0, so
+    this is the only coverage of the other four."""
+    import struct
+    import zlib
+
+    from raydf.datapipe import png
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    h, w, ch = 5, 7, 1
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+
+    raw = b""
+    for y in range(h):
+        ft = y % 5
+        line = bytearray()
+        for x in range(w):
+            cur = int(px[y, x])
+            a = int(px[y, x - 1]) if x else 0
+            b = int(px[y - 1, x]) if y else 0
+            c = int(px[y - 1, x - 1]) if (x and y) else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[ft]
+            line.append((cur - pred) & 0xFF)
+        raw += bytes([ft]) + bytes(line)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"IDAT", zlib.compress(raw))
+        + png._chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(png.decode_png(data), px)
+
+
+def test_multimodal_png_fixture_decodes_to_sha_pixels():
+    """End-to-end real-container contract behind the hash-checked
+    multimodal_featurize query: featurizer checksums over actual PNG
+    payloads equal the direct sha256-pixel computation."""
+    import hashlib
+
+    tbl = multimodal.synthetic_png_table(8)
+    out = multimodal.featurize(rd.from_arrow(tbl), concurrency=1, batch_size=4).to_pandas()
+    assert out["decoded"].all()
+    for i in range(8):
+        raw = np.frombuffer(
+            hashlib.sha256(f"image-{i}".encode()).digest() * 32, np.uint8
+        ).astype(np.int64)
+        row = out[out["media_id"] == i].iloc[0]
+        assert row["px_sum"] == raw.sum()
+        assert row["px_wsum"] == (raw * (np.arange(1024) + 1)).sum()
 
 
 def test_multimodal_decode_real_branch_with_fake_pil(monkeypatch):

@@ -79,6 +79,35 @@ def test_range_join_count_matches_bruteforce(ray_session, events):
     assert sum(want) > 0  # non-vacuous fixture
 
 
+def test_range_join_count_salted_equivalent(ray_session, events):
+    """Planted power-law key: user 3 owns 70% of rows. The salted path
+    (salt=4) must return byte-identical counts to the unsalted one."""
+    from raydf.relops import range_join_count
+
+    hot = events.copy()
+    hot.loc[hot.index[: int(len(hot) * 0.7)], "user_id"] = 3
+    left = hot.iloc[:150]
+    right = hot.iloc[150:].drop(columns="event_id")
+    lo, hi = -300, 200
+
+    def run(**kw):
+        return (
+            range_join_count(
+                _ds(left), _ds(right),
+                by=["user_id"], on="t", lo=lo, hi=hi,
+                num_partitions=6, **kw,
+            )
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+
+    base = run()
+    salted = run(salt=4)
+    pd.testing.assert_frame_equal(salted[base.columns.tolist()], base)
+    # non-vacuous: the hot key actually dominates and has matches
+    assert (left["user_id"] == 3).sum() > 80
+    assert base.loc[base["user_id"] == 3, "n_in_range"].sum() > 0
+
+
 def test_topk_per_group(ray_session, events):
     from raydf.relops import topk_per_group
 

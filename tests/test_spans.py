@@ -75,6 +75,34 @@ def test_dup_span_stats_matches_brute_force():
     assert out.loc[5, "n_dup_spans"] >= 1  # via doc 6's lowercased words
 
 
+def test_dup_span_stats_salted_equivalent():
+    """Planted hot gram (one boilerplate 4-gram in 80% of docs): the
+    salted two-phase path must reproduce the single-exchange result
+    exactly, including the brute-force ground truth."""
+    boiler = "standard footer text here"
+    texts = [
+        (f"{boiler} body{i} words{i} tail{i} more{i}" if i % 5 else
+         f"clean document {i} without footer stanza {i}")
+        for i in range(30)
+    ]
+    ds = rd.from_arrow(docs_table(texts))
+    base = (
+        spans.dup_span_stats(ds, n=4, num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    salted = (
+        spans.dup_span_stats(ds, n=4, num_partitions=4, salt=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(salted[base.columns.tolist()], base)
+    stats, _, _ = brute(texts, 4)
+    for d, (n_spans, n_dup) in stats.items():
+        row = salted[salted["doc_id"] == d].iloc[0]
+        assert row["n_spans"] == n_spans and row["n_dup_spans"] == n_dup
+
+
 def test_dup_span_covered_positions():
     _, covered, _ = brute(TEXTS, 4)
     out = spans.dup_span_covered(
