@@ -26,9 +26,18 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
-DRIVER_PAIR_LIMIT = 5_000_000
+# Pair sets at or below this run the numpy min-label union-find on the
+# driver; above it, the distributed propagation loop. 50M pairs is two
+# int64 columns ≈ 0.8 GB on a 128 GiB driver and ~seconds of vectorized
+# pointer-jumping — while the distributed loop costs several full
+# exchanges per round (measured 2026-08-19: routing a 10M-pair premerge
+# to the distributed path at 4 CPUs took >25 min where the driver path
+# takes seconds). The distributed path exists for the regime that
+# genuinely cannot fit a driver, not as the mid-scale default.
+DRIVER_PAIR_LIMIT = int(os.environ.get("RAYDF_DRIVER_PAIR_LIMIT", 50_000_000))
 
 # Above this many (node, canon) rows the mapping is no longer broadcast via
 # ray.put into remap stages — it stays a Dataset and remaps via the joined
@@ -106,43 +115,64 @@ def canonical_mapping_distributed_ds(
     Scales to edge sets that don't fit the driver; the monotone label sum
     is the convergence scalar (one cheap aggregate per round).
     """
-    from ray.data.aggregate import Min
-
-    from raydf.joins import distinct
+    from raydf.joins import distinct, partitioned_group_map
 
     # rule firings re-derive the same Eq every round — distinct first so
     # every propagation round pays for the PAIR SET, not the firing count
     # (identity pairs are dropped at the source by make_eqs_fn, but guard
     # here too: self-loops only add volume)
+    # every stage emits ARROW blocks: a zero-row pandas block SKIPS later
+    # map UDFs (Ray 2.49), survives to the sort-reduce, and on small
+    # inputs flips its most-prevalent block normalization to pandas —
+    # degrading null-padded int64 columns to float64 downstream (the
+    # remap merge guards raise loudly on exactly this)
+    def _nonid(t: pa.Table) -> pa.Table:
+        a = t["a"].cast(pa.int64())
+        b = t["b"].cast(pa.int64())
+        return pa.table({"a": a, "b": b}).filter(pc.not_equal(a, b))
+
     edges_ds = distinct(
-        edges_ds.map_batches(
-            lambda df: df[df["a"] != df["b"]], batch_format="pandas"
-        ),
-        ["a", "b"],
+        edges_ds.map_batches(_nonid, batch_format="pyarrow"), ["a", "b"]
     )
-    sym = edges_ds.map_batches(
-        lambda df: pd.concat(
-            [
-                df.rename(columns={"a": "node", "b": "nbr"})[["node", "nbr"]],
-                df.rename(columns={"b": "node", "a": "nbr"})[["node", "nbr"]],
-            ]
-        ),
-        batch_format="pandas",
-    ).materialize()
-    def _arrow(df: pd.DataFrame) -> "pa.Table":
-        import pyarrow as pa
 
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    labels = (
-        sym.groupby("node")
-        .aggregate(Min("nbr", alias_name="lbl"))
-        .map_batches(
-            lambda df: _arrow(df.assign(lbl=np.minimum(df["node"], df["lbl"]))),
-            batch_format="pandas",
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t["a"].cast(pa.int64())
+        b = t["b"].cast(pa.int64())
+        return pa.concat_tables(
+            [pa.table({"node": a, "nbr": b}), pa.table({"node": b, "nbr": a})]
         )
-        .materialize()
-    )
+
+    sym = edges_ds.map_batches(_sym, batch_format="pyarrow").materialize()
+
+    # min-reduce via the Sort-based partitioned exchange, NOT
+    # groupby().aggregate(Min): Ray 2.49's hash-shuffle Aggregate is
+    # catastrophically slow at low CPU counts — measured 2026-08-19,
+    # 4 CPUs, full-range int64 keys: aggregate(Min) 42.6 s at 1M rows,
+    # 202.3 s at 4M (≈50 µs/row, would be ~17 min at 19M) vs 4.9 s for
+    # the partitioned_group_map min over 19M rows (~200× at that size)
+    def _kmin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["lbl"].min()
+        return pd.DataFrame(
+            {"node": g.index.to_numpy(np.int64),
+             "lbl": g.to_numpy(np.int64)}
+        )
+
+    P = max(8, num_partitions)
+
+    labels = partitioned_group_map(
+        sym.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"].cast(pa.int64()),
+                    "lbl": pc.min_element_wise(
+                        t["node"].cast(pa.int64()), t["nbr"].cast(pa.int64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"], _kmin, num_partitions=P,
+    ).materialize()
     # uniform message schema (key:int64, val:int64, side:int32) lets the
     # lookup be a single groupby-merge — the portable partitioned hash
     # join (no Dataset.join; robust on sparse partitions)
@@ -177,8 +207,6 @@ def canonical_mapping_distributed_ds(
             {"node": out["val"].to_numpy(np.int64), "lbl": out["lbl"].to_numpy(np.int64)}
         )
 
-    import pyarrow.compute as pc
-
     def _exact_label_sum(lbl_ds) -> int:
         """Exact Σ lbl over full-range int64 labels. ``Dataset.sum`` on
         md5-low64 ids overflows C long in the reduce (observed: falls back
@@ -211,30 +239,33 @@ def canonical_mapping_distributed_ds(
         # (2) pointer jumping: node ← label(label(node)): ask at key=lbl
         ask_jump = _msgs(labels, key="lbl", val="node", side=0)
         have = _msgs(labels, key="node", val="lbl", side=1)
-        from raydf.joins import partitioned_group_map
 
-        updates = (
-            partitioned_group_map(
-                ask_nbr.union(ask_jump).union(have), ["key"], _lookup_merge
-            )
-            .map_batches(
-                lambda df: pa.Table.from_pandas(
-                    df.astype(np.int64), preserve_index=False
-                ),
-                batch_format="pandas",
-            )
+        # arrow-native int64 cast: a batch_format="pandas" pass here
+        # CONVERTS empty blocks to pandas before the empty-skip fires,
+        # minting exactly the poison blocks group_out_arrow exists to
+        # prevent (observed: 35 empty pandas blocks after 3 rounds)
+        updates = partitioned_group_map(
+            ask_nbr.union(ask_jump).union(have), ["key"], _lookup_merge,
+            num_partitions=P,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"].cast(pa.int64()),
+                    "lbl": t["lbl"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
         )
-        # normalize BOTH union branches to arrow blocks: the aggregate's
+        # normalize BOTH union branches to arrow blocks: the exchange's
         # boundary sampler asserts a single uniform block type
         base = labels.select_columns(["node", "lbl"]).map_batches(
             lambda t: t, batch_format="pyarrow"
         )
-        labels = (
-            base.union(updates)
-            .groupby("node")
-            .aggregate(Min("lbl", alias_name="lbl"))
-            .materialize()
-        )
+        # same Sort-based min-reduce as the init (NOT aggregate(Min) — see
+        # the measured pathology note above)
+        labels = partitioned_group_map(
+            base.union(updates), ["node"], _kmin, num_partitions=P,
+        ).materialize()
         cur_sum = _exact_label_sum(labels)
         if cur_sum == prev_sum:
             break

@@ -142,8 +142,6 @@ def top_terms(docs_ds, k: int = 20, text_col: str = "text"):
     ``groupby.sum`` folds them, and the final top-k is a sort+limit over
     the distinct vocabulary — the only all-to-all touches token counts,
     never documents."""
-    from ray.data.aggregate import Sum
-
     def local_counts(batch: pa.Table) -> pa.Table:
         tok = (
             pd.Series(batch[text_col].to_pylist())
@@ -160,6 +158,17 @@ def top_terms(docs_ds, k: int = 20, text_col: str = "text"):
             }
         )
 
+    # Sort-based fold, not groupby().aggregate(Sum): Ray 2.49's
+    # hash-shuffle Aggregate is pathologically slow at low CPU counts
+    # (measured 2026-08-19 — see canonicalize.canonical_mapping_distributed_ds)
+    from raydf.joins import partitioned_group_map
+
+    def ksum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["n"].sum()
+        return pd.DataFrame(
+            {"token": g.index.astype(str), "n": g.to_numpy(np.int64)}
+        )
+
     counts = docs_ds.map_batches(local_counts, batch_format="pyarrow")
-    total = counts.groupby("token").aggregate(Sum("n", alias_name="n"))
+    total = partitioned_group_map(counts, ["token"], ksum)
     return total.sort(key=["n", "token"], descending=[True, False]).limit(k)

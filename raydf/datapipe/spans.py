@@ -233,14 +233,19 @@ def _dup_span_stats_salted(docs, *, n: int, salt: int,
             }
         )
 
-    dup_grams = (
-        dg.map_batches(gram_partial, batch_format="pyarrow")
-        .groupby("gram")
-        .sum("n")
-        .map_batches(
-            lambda t: t.filter(pc.greater_equal(t["sum(n)"], 2)).select(["gram"]),
-            batch_format="pyarrow",
-        )
+    # Sort-based fold (groupby().sum is Ray's hash-shuffle Aggregate —
+    # pathologically slow at low CPU counts; see canonicalize note)
+    def ksum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gram", sort=False)["n"].sum()
+        return pd.DataFrame({"gram": g.index.astype(str),
+                             "n": g.to_numpy(np.int64)})
+
+    dup_grams = partitioned_group_map(
+        dg.map_batches(gram_partial, batch_format="pyarrow"),
+        ["gram"], ksum, num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], 2)).select(["gram"]),
+        batch_format="pyarrow",
     )
 
     def hit_partials(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:

@@ -165,21 +165,33 @@ def distinct(ds, cols: Sequence[str], *, pre_dedup: bool = True, num_partitions:
     cols = list(cols)
     P = num_partitions
 
-    def pre(df: pd.DataFrame) -> pd.DataFrame:
+    def pre(t):
+        # arrow-in: a batch_format="pandas" stage converts EMPTY upstream
+        # blocks to pandas before the empty-skip fires — those stale
+        # pandas blocks then poison downstream sort reduces (the
+        # group_out_arrow pathology, minted one stage earlier)
+        import pyarrow as pa
+
+        df = t.to_pandas()
         if pre_dedup:
             df = df.drop_duplicates(subset=cols)
-        else:
-            df = df.copy()
         h = pd.util.hash_pandas_object(df[cols], index=False).to_numpy()
         df["__p"] = (h % np.uint64(P)).astype(np.int64)
-        return df
+        return pa.Table.from_pandas(df, preserve_index=False)
 
+    # map_groups consumes ARROW (converting to pandas inside the UDF):
+    # with batch_format="pandas" Ray converts EVERY output partition block
+    # to pandas BEFORE noticing an empty one has no groups to call the UDF
+    # on — those empty pandas blocks then skip all later map UDFs and flip
+    # downstream sort reduces through pandas (see group_out_arrow)
     return (
-        ds.map_batches(pre, batch_format="pandas")
+        ds.map_batches(pre, batch_format="pyarrow")
         .groupby("__p")
         .map_groups(
-            lambda d: group_out_arrow(d.drop_duplicates(subset=cols)),
-            batch_format="pandas",
+            lambda t: group_out_arrow(
+                t.to_pandas().drop_duplicates(subset=cols)
+            ),
+            batch_format="pyarrow",
         )
         .drop_columns(["__p"])
     )
@@ -200,22 +212,26 @@ def partitioned_group_map(ds, keys: Sequence[str], partition_fn, *, num_partitio
     keys = list(keys)
     P = num_partitions if num_partitions is not None else default_partitions()
 
-    def pre(df: pd.DataFrame):
-        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
-        df = df.copy()
-        df["__p"] = (h % np.uint64(P)).astype(np.int64)
-        # emit arrow so the groupby sees ONE uniform block type even when
-        # upstream unions mix arrow- and pandas-backed branches
+    def pre(t):
+        # arrow-in/arrow-out (see distinct's pre): a pandas-format stage
+        # converts empty upstream blocks to pandas before the empty-skip,
+        # minting the poison blocks group_out_arrow exists to prevent
         import pyarrow as pa
 
+        df = t.to_pandas()
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        df["__p"] = (h % np.uint64(P)).astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    # arrow-in map_groups for the same empty-block reason
     return (
-        ds.map_batches(pre, batch_format="pandas")
+        ds.map_batches(pre, batch_format="pyarrow")
         .groupby("__p")
         .map_groups(
-            lambda d: group_out_arrow(partition_fn(d.drop(columns="__p"))),
-            batch_format="pandas",
+            lambda t: group_out_arrow(
+                partition_fn(t.to_pandas().drop(columns="__p"))
+            ),
+            batch_format="pyarrow",
         )
     )
 

@@ -207,10 +207,38 @@ def _gated_mapping(pairs, *, num_partitions: int):
         if n == 0:
             return empty, None
         if n > cz.DRIVER_PAIR_LIMIT:
+            # route on the DISTINCT non-identity pair count, not the raw
+            # firing count: rules re-derive the same Eq every round, and
+            # the r02 10M-file post-mortem (BASELINE.md) showed a
+            # duplicate-inflated count steering a driver-sized workload
+            # onto the (far costlier) distributed loop. One distinct
+            # exchange is cheap insurance against O(rounds) of them.
+            from raydf import joins
+
+            def _nonid(t: pa.Table) -> pa.Table:
+                # arrow in/out: an empty pandas block here would skip later
+                # map UDFs and flip sort-reduce block normalization
+                a = t["a"].cast(pa.int64())
+                b = t["b"].cast(pa.int64())
+                return pa.table({"a": a, "b": b}).filter(
+                    pa.compute.not_equal(a, b)
+                )
+
+            pairs = joins.distinct(
+                pairs.select_columns(["a", "b"]).map_batches(
+                    _nonid, batch_format="pyarrow"
+                ),
+                ["a", "b"],
+                num_partitions=num_partitions,
+            ).materialize()
+            n = pairs.count()
+        if n > cz.DRIVER_PAIR_LIMIT:
             ds = cz.canonical_mapping_distributed_ds(
                 pairs.select_columns(["a", "b"]), num_partitions=num_partitions
             ).materialize()
             return None, ds
+        if n == 0:
+            return empty, None
         df = cz.canonical_mapping_driver(
             pairs.select_columns(["a", "b"]).to_pandas()
         )
