@@ -110,7 +110,7 @@ def _int_triples(subj: np.ndarray, pred: int, obj: np.ndarray, graph: int = 0) -
             "rule_idx": pa.nulls(n, pa.int32()),
             "round": pa.array([0] * n, pa.int32()),
             "substitution": pa.nulls(n, pa.large_list(pa.int64())),
-            "content_sha256": pa.nulls(n, pa.string()),
+            "content_sha256": pa.nulls(n, pa.large_string()),
         },
         schema=TRIPLES_SCHEMA,
     )

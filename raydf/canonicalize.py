@@ -430,6 +430,60 @@ def _mix_mod(arr: "np.ndarray", P: int) -> "np.ndarray":
     return (x % np.uint64(P)).astype(np.int64)
 
 
+def _mix64(arr: "np.ndarray", seed: int = 0) -> "np.ndarray":
+    """Full-width splitmix64 finalizer (vectorized, wraps on uint64)."""
+    x = arr.astype(np.uint64) ^ np.uint64(seed)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+_BLOOM_SEED2 = 0xA076_1D64_78BD_642F  # second, independent probe
+
+
+def build_key_bloom(keys_ds, col: str, *, n_hint: int | None = None):
+    """Bitset Bloom filter (k=2 probes, ~16 bits/key → ≈1.5% FP) over an
+    int64 key column of a Dataset. Returns ``(words, mask)`` — a uint64
+    word array plus the bit-index mask — sized ~2 bytes/key (50M keys →
+    128 MB; 1B keys → 2 GB, still one ``ray.put`` read zero-copy by every
+    task). Built with ONE streaming pass: each block ships only its
+    deduplicated set-bit positions (≤16 B/key) to the driver."""
+    n = n_hint if n_hint is not None else keys_ds.count()
+    m = 1 << max(16, int(np.ceil(np.log2(max(16 * max(n, 1), 2)))))
+    mask = np.uint64(m - 1)
+    words = np.zeros(m >> 6, np.uint64)
+
+    def positions(t: "pa.Table") -> "pa.Table":
+        k = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = np.unique(
+            np.concatenate([_mix64(k) & mask, _mix64(k, _BLOOM_SEED2) & mask])
+        ).astype(np.int64)
+        return pa.table({"pos": pa.array([p], pa.large_list(pa.int64()))})
+
+    for b in keys_ds.map_batches(positions, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        p = np.asarray(b["pos"].combine_chunks().flatten(), dtype=np.uint64)
+        np.bitwise_or.at(
+            words, (p >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (p & np.uint64(63)),
+        )
+    return words, mask
+
+
+def bloom_maybe_contains(bloom, keys: "np.ndarray") -> "np.ndarray":
+    """Vectorized membership probe — True = key MAY be in the set (≈1.5%
+    false positives, zero false negatives)."""
+    words, mask = bloom
+    k = keys.astype(np.int64)
+    h1 = _mix64(k) & mask
+    h2 = _mix64(k, _BLOOM_SEED2) & mask
+    one = np.uint64(1)
+    hit = (words[(h1 >> np.uint64(6)).astype(np.int64)] >> (h1 & np.uint64(63))) & one
+    hit &= (words[(h2 >> np.uint64(6)).astype(np.int64)] >> (h2 & np.uint64(63))) & one
+    return hit.astype(bool)
+
+
 def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj", "graph"),
                          num_partitions: int | None = None,
                          flag_col: str | None = None):
@@ -453,16 +507,21 @@ def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj",
     test_remap_joined_matches_broadcast)."""
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray
 
-    from raydf.joins import arrow_schema, default_partitions
+    from raydf.joins import _widen_type, arrow_schema, default_partitions, widen_offsets
 
     P = num_partitions if num_partitions is not None else default_partitions()
 
-    schema = arrow_schema(triples_ds)
+    schema = pa.schema(
+        [pa.field(f.name, _widen_type(f.type), f.nullable)
+         for f in arrow_schema(triples_ds)]
+    )
     list_cols = [
         f.name for f in schema
         if pa.types.is_large_list(f.type) or pa.types.is_list(f.type)
     ]
+    id_cols = list(cols)
 
     def pack(t: pa.Table) -> pa.Table:
         for name in list_cols:
@@ -486,21 +545,52 @@ def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj",
         packed_fields.append(pa.field(flag_col, pa.bool_()))
     tcols = [f.name for f in packed_fields]
 
-    out = triples_ds
+    flagged = triples_ds.map_batches(
+        lambda t: widen_offsets(t) if flag_col is None else widen_offsets(t).append_column(
+            flag_col, pa.array(np.zeros(len(t), bool), pa.bool_())
+        ),
+        batch_format="pyarrow",
+    )
+
+    # ---- Bloom gate: only rows whose id columns MIGHT be in the mapping
+    # enter the per-column exchanges. Without it every pass partitions the
+    # FULL dataset by that column's value — and `pred` has ~10 distinct
+    # values while `graph` is almost always the 0 sentinel, so those two
+    # passes funnel the whole input into a handful of sort partitions: a
+    # serial straggler at any scale, and (pre-widening) the 2 GiB varlen
+    # offset overflow the 12M-file 4-CPU leg died on. Gated, the clean
+    # majority (no id in the mapping) bypasses all four exchanges, and the
+    # dirty rows' hot keys are actual mapping ids — md5-low64, uniform.
+    # FP rows (≈1.5%) just miss the lookup and pass through unchanged.
+    # NOTE: triples_ds is consumed twice (clean + dirty scan) — callers
+    # pass materialized or file-backed datasets.
+    n_map = mapping_ds.count()
+    if n_map == 0:
+        return flagged
+    bloom_ref = ray.put(build_key_bloom(mapping_ds, "node", n_hint=n_map))
+
+    def _split(want_dirty: bool):
+        def f(t: pa.Table) -> pa.Table:
+            bloom = ray.get(bloom_ref)
+            dirty = np.zeros(len(t), bool)
+            for c in id_cols:
+                dirty |= bloom_maybe_contains(
+                    bloom, t[c].to_numpy(zero_copy_only=False)
+                )
+            return t.filter(pa.array(dirty if want_dirty else ~dirty))
+
+        return f
+
+    clean = flagged.map_batches(_split(False), batch_format="pyarrow")
+    out = flagged.map_batches(_split(True), batch_format="pyarrow")
     if list_cols:
         out = out.map_batches(pack, batch_format="pyarrow")
-    if flag_col is not None:
-        out = out.map_batches(
-            lambda t: t.append_column(
-                flag_col, pa.array(np.zeros(len(t), bool), pa.bool_())
-            ),
-            batch_format="pyarrow",
-        )
 
     for c in cols:
 
         def tag_left(t: pa.Table, _c=c) -> pa.Table:
             key = t[_c].to_numpy(zero_copy_only=False)
+            t = widen_offsets(t)
             t = t.append_column("__node", pa.nulls(len(t), pa.int64()))
             t = t.append_column("__canon", pa.nulls(len(t), pa.int64()))
             t = t.append_column("__side", pa.array(np.zeros(len(t), np.int8)))
@@ -557,7 +647,7 @@ def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj",
 
     if list_cols:
         out = out.map_batches(unpack, batch_format="pyarrow")
-    return out
+    return clean.union(out)
 
 
 def remap_triples(triples_ds, mapping: pd.DataFrame, *, flag_col: str | None = None):

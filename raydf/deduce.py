@@ -166,7 +166,7 @@ def make_triples_fn(rule: Rule, rule_idx: int, round_no: int):
                         "rule_idx": pa.array(np.full(n, rule_idx, dtype=np.int32), pa.int32()),
                         "round": pa.array(np.full(n, round_no, dtype=np.int32), pa.int32()),
                         "substitution": subs,
-                        "content_sha256": pa.nulls(n, pa.string()),
+                        "content_sha256": pa.nulls(n, pa.large_string()),
                     },
                     schema=TRIPLES_SCHEMA,
                 )

@@ -59,7 +59,7 @@ WIDE_SCHEMA = pa.schema(
         pa.field("o_lex", pa.large_string()),
         pa.field("o_dt", pa.large_string(), nullable=True),
         pa.field("sign", pa.bool_()),
-        pa.field("content_sha256", pa.string(), nullable=True),
+        pa.field("content_sha256", pa.large_string(), nullable=True),
     ]
 )
 
@@ -78,7 +78,7 @@ def _wide_table(rows: dict[str, list]) -> pa.Table:
             "o_lex": pa.array(rows["o_lex"], pa.large_string()),
             "o_dt": pa.array(rows.get("o_dt", [None] * n), pa.large_string()),
             "sign": pa.array([True] * n, pa.bool_()),
-            "content_sha256": pa.array(rows["sha"], pa.string()),
+            "content_sha256": pa.array(rows["sha"], pa.large_string()),
         },
         schema=WIDE_SCHEMA,
     )
@@ -383,7 +383,8 @@ def intern_wide_batch(batch: pa.Table) -> pa.Table:
             "rule_idx": pa.nulls(n, pa.int32()),
             "round": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
             "substitution": pa.nulls(n, pa.large_list(pa.int64())),
-            "content_sha256": batch["content_sha256"],
+            # cast: pre-r04 wide checkpoints stamped 32-bit `string`
+            "content_sha256": batch["content_sha256"].cast(pa.large_string()),
         },
         schema=TRIPLES_SCHEMA,
     )

@@ -126,7 +126,7 @@ def triples_from_terms(rows, *, sign=None, graphs=None):
             "rule_idx": pa.nulls(n, pa.int32()),
             "round": pa.array([0] * n, pa.int32()),
             "substitution": pa.nulls(n, pa.large_list(pa.int64())),
-            "content_sha256": pa.nulls(n, pa.string()),
+            "content_sha256": pa.nulls(n, pa.large_string()),
         },
         schema=TRIPLES_SCHEMA,
     )

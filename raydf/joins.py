@@ -131,6 +131,41 @@ def partitions_for_bytes(est_bytes: int | None, *, floor: int | None = None) -> 
     return max(base, math.ceil(est_bytes / PARTITION_TARGET_BYTES))
 
 
+def _widen_type(t):
+    """32-bit-offset varlen arrow type → its 64-bit (large_*) form."""
+    import pyarrow as pa
+
+    if pa.types.is_string(t):
+        return pa.large_string()
+    if pa.types.is_binary(t):
+        return pa.large_binary()
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.large_list(_widen_type(t.value_type))
+    return t
+
+
+def widen_offsets(t):
+    """Cast string/binary/list columns to their large_* (64-bit offset)
+    forms. Every table entering a sort-based exchange (``groupby`` /
+    ``sort`` — Ray's sort reduce concatenates one partition's blocks into
+    ONE arrow table via merge_sorted_blocks → concat_and_sort) must be
+    widened: 32-bit offsets cap a partition's varlen payload at 2 GiB and
+    the overflow is a hard ArrowInvalid, reached exactly when partitions
+    are at their biggest (low CPU count × large input — the 12M-file
+    4-CPU scaling leg). Widening makes partition size a memory-sizing
+    question instead of a correctness cliff; per-column cost is an O(n)
+    offset upcast, no data copy beyond the offsets."""
+    import pyarrow as pa
+
+    schema = t.schema
+    widened = pa.schema(
+        [pa.field(f.name, _widen_type(f.type), f.nullable) for f in schema]
+    )
+    if widened.equals(schema):
+        return t
+    return t.cast(widened)
+
+
 def group_out_arrow(df: pd.DataFrame):
     """Pandas group-fn output → arrow block. Group maps that emit PANDAS
     blocks poison every DOWNSTREAM sort-based exchange: Ray's sort reduce
@@ -146,9 +181,9 @@ def group_out_arrow(df: pd.DataFrame):
     import pyarrow as pa
 
     if not isinstance(df, pd.DataFrame):
-        return df
+        return widen_offsets(df) if hasattr(df, "schema") else df
     try:
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return widen_offsets(pa.Table.from_pandas(df, preserve_index=False))
     except Exception:
         return df
 
@@ -177,7 +212,7 @@ def distinct(ds, cols: Sequence[str], *, pre_dedup: bool = True, num_partitions:
             df = df.drop_duplicates(subset=cols)
         h = pd.util.hash_pandas_object(df[cols], index=False).to_numpy()
         df["__p"] = (h % np.uint64(P)).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return widen_offsets(pa.Table.from_pandas(df, preserve_index=False))
 
     # map_groups consumes ARROW (converting to pandas inside the UDF):
     # with batch_format="pandas" Ray converts EVERY output partition block
@@ -221,7 +256,7 @@ def partitioned_group_map(ds, keys: Sequence[str], partition_fn, *, num_partitio
         df = t.to_pandas()
         h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
         df["__p"] = (h % np.uint64(P)).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return widen_offsets(pa.Table.from_pandas(df, preserve_index=False))
 
     # arrow-in map_groups for the same empty-block reason
     return (
@@ -345,14 +380,17 @@ def partitioned_lookup_join(ds, key_col: str, lookup_ds, lookup_key: str,
     P = num_partitions if num_partitions is not None else default_partitions()
     schema = arrow_schema(ds)
     lschema = arrow_schema(lookup_ds)
-    val_type = lschema.field(lookup_val).type
-    fields = list(schema)
+    # widened types end-to-end: the union rides a sort-based exchange (see
+    # widen_offsets — 32-bit varlen offsets cap a partition at 2 GiB)
+    val_type = _widen_type(lschema.field(lookup_val).type)
+    fields = [pa.field(f.name, _widen_type(f.type), f.nullable) for f in schema]
 
     def _p(keys: np.ndarray) -> "pa.Array":
         h = pd.util.hash_array(keys)
         return pa.array((h % np.uint64(P)).astype(np.int64), pa.int64())
 
     def tag_left(t: pa.Table) -> pa.Table:
+        t = widen_offsets(t)
         keys = t[key_col].to_numpy(zero_copy_only=False)
         t = t.append_column("__lv", pa.nulls(len(t), val_type))
         t = t.append_column("__lk", pa.nulls(len(t), pa.int64()))

@@ -116,8 +116,10 @@ def _mark_done(d: str) -> None:
 
 # Checkpoint format version: bump whenever on-disk ids/layout change
 # incompatibly (v2 = md5-low64 term ids — v1 workdirs carried blake2b ids,
-# and resuming one mid-pipeline would silently mix id schemes).
-FORMAT_VERSION = f"2:{terms.HASH_SCHEME}"
+# and resuming one mid-pipeline would silently mix id schemes; v3 =
+# content_sha256 stored as large_string — cross-round reads of a resumed
+# v2 workdir would mix string/large_string parquet schemas).
+FORMAT_VERSION = f"3:{terms.HASH_SCHEME}"
 
 
 def _check_workdir_format(workdir: str) -> None:

@@ -64,11 +64,16 @@ def _two_sided_partition_map(
     P = num_partitions if num_partitions is not None else default_partitions()
     from raydf.joins import arrow_schema
 
+    from raydf.joins import _widen_type, widen_offsets
+
     ls = arrow_schema(left)
     rs = arrow_schema(right)
     lcols, rcols = list(ls.names), list(rs.names)
-    types = {n: rs.field(n).type for n in rcols}
-    types.update({n: ls.field(n).type for n in lcols})
+    # widened (large_*) varlen types end-to-end: the union rides a
+    # sort-based exchange whose reduce concatenates one partition into a
+    # single table — 32-bit offsets cap that at 2 GiB (joins.widen_offsets)
+    types = {n: _widen_type(rs.field(n).type) for n in rcols}
+    types.update({n: _widen_type(ls.field(n).type) for n in lcols})
     all_cols = lcols + [c for c in rcols if c not in lcols]
     out_schema = out_schema_fn(ls, rs) if out_schema_fn is not None else None
     if salted:
@@ -84,7 +89,7 @@ def _two_sided_partition_map(
             n = len(t)
             out = {}
             for c in all_cols:
-                out[c] = t[c] if c in cols else pa.nulls(n, types[c])
+                out[c] = t[c].cast(types[c]) if c in cols else pa.nulls(n, types[c])
             out["__side"] = pa.array(np.full(n, side, np.int8), pa.int8())
             if not salted:
                 out["__p"] = pa.array(
@@ -131,9 +136,9 @@ def _two_sided_partition_map(
         # pandas degrades unmatched int64 join columns to float64+NaN in SOME
         # partitions only, and Arrow won't concat int64 blocks with float64
         # ones — from_pandas(schema=...) restores null-safe int64
-        return pa.Table.from_pandas(
+        return widen_offsets(pa.Table.from_pandas(
             part_fn(l, r), schema=out_schema, preserve_index=False
-        )
+        ))
 
     return u.groupby("__p").map_groups(run, batch_format="pyarrow")
 

@@ -54,7 +54,12 @@ TRIPLES_SCHEMA = pa.schema(
         pa.field("rule_idx", pa.int32(), nullable=True),  # null = Cause::Stated
         pa.field("round", pa.int32()),
         pa.field("substitution", pa.large_list(pa.int64()), nullable=True),
-        pa.field("content_sha256", pa.string(), nullable=True),
+        # large_string, like every varlen column that rides a sort-based
+        # exchange: Ray's sort reduce concatenates one partition's blocks
+        # into ONE table, and 32-bit `string` offsets cap that partition's
+        # payload at 2 GiB (ArrowInvalid "offset overflow" — hit by the
+        # 12M-file 4-CPU leg in the round-0 bucketed dedup exchange)
+        pa.field("content_sha256", pa.large_string(), nullable=True),
     ]
 )
 
