@@ -1233,6 +1233,20 @@ def _kmeans_clusters(sf_dir: str):
     return kmeans_assign(emb, k=8, iters=2)
 
 
+def _semdedup_docs(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540) over the embeddings table: k-means
+    bucket the embedding space (k=8, 2 exact-integer Lloyd updates — the
+    same training the kmeans_clusters oracle unrolls), then within each
+    cluster drop every vector with a lower-id member at quantized squared
+    L2 ≤ 1.25e12 (unit-norm vectors → cosine ≥ 0.375 — calibrated so the
+    synthetic corpus drops ~9% of vectors). One hash
+    exchange on cluster; per-cluster vectorized integer matmul."""
+    from raydf.datapipe.cluster import semdedup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(emb, k=8, iters=2, eps2=1_250_000_000_000)
+
+
 def _pagerank_trade_graph(sf_dir: str):
     """Integer PageRank (3 iterations, damping 85/100) over the
     bidirectional customer↔supplier trade graph (edges from orders ⋈
@@ -1521,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": _dup_span_stats,
         "scrub_dup_spans": _scrub_dup_spans,
         "kmeans_clusters": _kmeans_clusters,
+        "semdedup_docs": _semdedup_docs,
         "pagerank_trade_graph": _pagerank_trade_graph,
         "components_trade_graph": _components_trade_graph,
         "cms_token_counts": _cms_token_counts,
@@ -1531,15 +1546,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
-    """DuckDB replica of the exact-integer Lloyd k-means: quantization
-    (floor(x*1e6+0.5) in float64 — IEEE-identical to the kernel), integer
-    squared distances with smaller-cluster-id tie-break, floor-division
-    centroid updates matching numpy floor_divide exactly (DuckDB's ``//``
-    truncates toward zero, so a CASE adjusts negative sums — pure HUGEINT
-    arithmetic, no DOUBLE precision ceiling), empty clusters keeping the
-    previous centroid. Each iteration is one assign+means+coalesce CTE triple,
-    unrolled ``iters`` times, then a final assignment."""
+def _lloyd_ctes(k: int = 8, iters: int = 2) -> str:
+    """DuckDB replica of the exact-integer Lloyd k-means training +
+    final assignment, as a CTE chain ending in ``afinal(vec_id,
+    cluster)`` (plus ``q(vec_id, d, x)``, the quantized coordinates):
+    quantization (floor(x*1e6+0.5) in float64 — IEEE-identical to the
+    kernel), integer squared distances with smaller-cluster-id tie-break,
+    floor-division centroid updates matching numpy floor_divide exactly
+    (DuckDB's ``//`` truncates toward zero, so a CASE adjusts negative
+    sums — pure HUGEINT arithmetic, no DOUBLE precision ceiling), empty
+    clusters keeping the previous centroid. Shared by the kmeans and
+    semdedup oracles so both check against the SAME unrolled training."""
     parts = [f"""
         WITH q AS (
           SELECT vec_id, i - 1 AS d,
@@ -1581,8 +1598,31 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
         )""")
         prev = f"c{i}"
     parts.append(assign_cte("afinal", prev))
-    parts.append("\n        SELECT vec_id, cluster FROM afinal")
     return "".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
+    return _lloyd_ctes(k, iters) + "\n        SELECT vec_id, cluster FROM afinal"
+
+
+def _semdedup_oracle_sql(k: int = 8, iters: int = 2,
+                         eps2: int = 1_450_000_000_000) -> str:
+    """SemDeDup oracle: the shared Lloyd CTEs, then the keep-lowest-id
+    rule as one within-cluster pair join over the quantized coordinates —
+    ``kept(j) ⇔ ∄ i<j in j's cluster with Σ_d (x_i−x_j)² ≤ eps2`` (exact
+    BIGINT arithmetic, same as the engine kernel's int64 matmul)."""
+    return _lloyd_ctes(k, iters) + f""", dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM afinal a JOIN afinal b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          JOIN q qa ON qa.vec_id = a.vec_id
+          JOIN q qb ON qb.vec_id = b.vec_id AND qb.d = qa.d
+          GROUP BY a.vec_id, b.vec_id
+          HAVING SUM((qa.x - qb.x) * (qa.x - qb.x)) <= {eps2}
+        )
+        SELECT f.vec_id, f.cluster,
+               (d.vec_id IS NULL) AS kept
+        FROM afinal f LEFT JOIN dropped d ON d.vec_id = f.vec_id"""
 
 
 def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
@@ -2262,6 +2302,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dedup_docs": _minhash_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(k=8, iters=2),
+        "semdedup_docs": _semdedup_oracle_sql(k=8, iters=2,
+                                              eps2=1_250_000_000_000),
         "pagerank_trade_graph": _pagerank_oracle_sql(iters=3),
         "pq_codes": _pq_oracle_sql(m=8, k=16, iters=2),
         "tfidf_top_terms": """

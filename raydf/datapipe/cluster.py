@@ -78,12 +78,12 @@ def _init_centroids(embeds, k: int, *, id_col: str, vec_col: str) -> np.ndarray:
     return quantize(np.stack(seed[vec_col].to_numpy()))
 
 
-def kmeans_assign(embeds, *, k: int = 8, iters: int = 2,
-                  id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Lloyd k-means over ``embeds`` (Dataset with an id and a
-    ``list<float>`` column). Runs ``iters`` exact-integer centroid
-    updates, then returns the LAZY final assignment Dataset
-    ``(vec_id, cluster)``.
+def lloyd_train(embeds, *, k: int = 8, iters: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """The centroid-training loop of :func:`kmeans_assign`, exposed so
+    compositions (:func:`semdedup`) can run their own final pass against
+    the EXACT centroids a plain assignment would use. Returns the (k, d)
+    int64 centroid matrix after ``iters`` exact-integer updates.
 
     Each update is one streaming pass: broadcast centroids → per-batch
     integer-matmul assignment → k partial (count, Σ per dim) rows per
@@ -120,7 +120,16 @@ def kmeans_assign(embeds, *, k: int = 8, iters: int = 2,
         new = cents.copy()  # empty clusters keep their previous centroid
         new[nz] = np.floor_divide(sums[nz], counts[nz, None])
         cents = new
+    return cents
 
+
+def kmeans_assign(embeds, *, k: int = 8, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Lloyd k-means over ``embeds`` (Dataset with an id and a
+    ``list<float>`` column). Runs ``iters`` exact-integer centroid
+    updates (:func:`lloyd_train`), then returns the LAZY final assignment
+    Dataset ``(vec_id, cluster)``."""
+    cents = lloyd_train(embeds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     ref = ray.put(cents)
 
     def label(batch: pa.Table) -> pa.Table:
@@ -134,6 +143,76 @@ def kmeans_assign(embeds, *, k: int = 8, iters: int = 2,
         )
 
     return embeds.map_batches(label, batch_format="pyarrow")
+
+
+def semdedup(embeds, *, k: int = 8, iters: int = 2, eps2: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             num_partitions: int | None = None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding space, then within each cluster drop every vector that has a
+    LOWER-id cluster member within ``eps2`` (squared L2 distance in
+    quantized micro-units — for unit-norm embeddings ``dist² =
+    2·(1−cos)·10¹²``, so an eps2 threshold IS a cosine threshold).
+    Returns the lazy Dataset ``(vec_id, cluster, kept)``.
+
+    Determinism contract: the exact-integer Lloyd of :func:`kmeans_assign`
+    (same centroids bit-for-bit via :func:`lloyd_train`), int64 pairwise
+    distances (coords ≤ ~10⁶ → products ≤ 10¹², ×dim ≪ 2⁶³ — exact), and
+    the keep-lowest-id rule (``kept[j] ⇔ ∄ i<j in the cluster with
+    d²(i,j) ≤ eps2``) — no greedy sequential state, so the whole operator
+    unrolls into a SQL oracle (one EXISTS over the within-cluster pair
+    join appended to the Lloyd CTEs).
+
+    Scale shape: one broadcast-assignment pass attaches (cluster, x) per
+    row, then ONE hash exchange on ``cluster`` co-locates each cluster;
+    the per-partition kernel is a vectorized m×m integer matmul per
+    cluster. The all-pairs-within-cluster cost is SemDeDup's defining
+    trade: k must grow ∝ corpus size so per-cluster m stays bounded
+    (the paper uses k ≈ N/100k); with that invariant no partition frame
+    or distance matrix grows with total corpus size."""
+    from raydf.joins import partitioned_group_map
+
+    cents = lloyd_train(embeds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    ref = ray.put(cents)
+
+    def label_with_vec(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = quantize(_batch_matrix(batch, vec_col))
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "cluster": pa.array(assign(x, c), pa.int64()),
+                "__x": pa.array(list(x), pa.list_(pa.int64())),
+            }
+        )
+
+    labelled = embeds.map_batches(label_with_vec, batch_format="pyarrow")
+
+    def per_partition(df):
+        import pandas as pd
+
+        out = []
+        for cl, g in df.groupby("cluster", sort=False):
+            g = g.sort_values(id_col)
+            x = np.stack(g["__x"].to_numpy()).astype(np.int64)
+            sq = np.einsum("nd,nd->n", x, x)
+            d2 = sq[:, None] + sq[None, :] - 2 * (x @ x.T)
+            # dup[j] ⇔ some i<j (row-sorted by id) is within eps2
+            dup = np.triu(d2 <= eps2, 1).any(axis=0)
+            out.append(
+                pd.DataFrame(
+                    {
+                        id_col: g[id_col].to_numpy(np.int64),
+                        "cluster": np.full(len(g), cl, np.int64),
+                        "kept": ~dup,
+                    }
+                )
+            )
+        return pd.concat(out) if out else df[[id_col, "cluster"]].assign(kept=True)
+
+    return partitioned_group_map(
+        labelled, ["cluster"], per_partition, num_partitions=num_partitions
+    )
 
 
 # ------------------------------------------------- product quantization

@@ -163,3 +163,56 @@ def test_pq_codes_reconstruct_better_than_permuted():
         err_own += ((sub - cents[codes[:, s]]) ** 2).sum()
         err_perm += ((sub - cents[codes[perm, s]]) ** 2).sum()
     assert err_own < err_perm
+
+
+def semdedup_replica(vecs: np.ndarray, k: int, iters: int, eps2: int):
+    """(labels, kept) via the module's exact contract, single-process."""
+    x = cluster.quantize(vecs.astype(np.float32))
+    cents = x[:k].copy()
+    for _ in range(iters):
+        lab = cluster.assign(x, cents)
+        new = cents.copy()
+        for c in range(k):
+            m = lab == c
+            if m.any():
+                new[c] = np.floor_divide(x[m].sum(axis=0), m.sum())
+        cents = new
+    lab = cluster.assign(x, cents)
+    kept = np.ones(len(x), bool)
+    for j in range(len(x)):
+        for i in range(j):
+            if lab[i] == lab[j] and ((x[i] - x[j]) ** 2).sum() <= eps2:
+                kept[j] = False
+                break
+    return lab, kept
+
+
+def test_semdedup_matches_replica_and_block_invariant():
+    rng = np.random.default_rng(23)
+    # 3 blobs plus planted near-duplicates (tiny jitter around members)
+    base = rng.normal(scale=0.3, size=(60, 8)) + 2.5 * (np.arange(60) % 3)[:, None]
+    dups = base[rng.integers(0, 60, size=15)] + rng.normal(scale=1e-4, size=(15, 8))
+    vecs = np.concatenate([base, dups])
+    eps2 = 10_000_000_000  # (1e5)^2 per dim scale — catches the planted jitter
+    lab, kept = semdedup_replica(vecs, k=3, iters=2, eps2=eps2)
+    assert (~kept).sum() >= 15  # every planted dup (and any accidental) dropped
+    for blocks in (1, 6):
+        out = (
+            cluster.semdedup(
+                rd.from_arrow(emb_table(vecs)).repartition(blocks),
+                k=3, iters=2, eps2=eps2,
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        assert (out["cluster"].to_numpy() == lab).all()
+        assert (out["kept"].to_numpy() == kept).all()
+
+
+def test_semdedup_keeps_everything_below_threshold():
+    rng = np.random.default_rng(29)
+    vecs = rng.normal(size=(40, 8)) * 0.5
+    out = cluster.semdedup(
+        rd.from_arrow(emb_table(vecs)), k=2, iters=1, eps2=1
+    ).to_pandas()
+    assert len(out) == 40 and out["kept"].all()
