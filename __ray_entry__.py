@@ -502,18 +502,26 @@ def _kg_extract_structural(sf_dir: str):
     )
 
 
-def _hierarchy_edges(sf_dir: str) -> pa.Table:
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
-    e1s = cust["c_nationkey"].to_numpy(np.int64) + _NATION_NS
-    e1o = cust["c_custkey"].to_numpy(np.int64) + _CUST_NS
-    e2s = orders["o_custkey"].to_numpy(np.int64) + _CUST_NS
-    e2o = orders["o_orderkey"].to_numpy(np.int64) + _ORDER_NS
-    return pa.concat_tables(
-        [
-            _int_triples(e1s, _CONTAINS_PRED, e1o),
-            _int_triples(e2s, _CONTAINS_PRED, e2o),
-        ]
+def _edge_triples(ds, s_col: str, s_ns: int, o_col: str, o_ns: int,
+                  graph: int = 0):
+    """Streaming (Dataset) edge builder: each batch of a key-pair table
+    becomes `(key+s_ns) CONTAINS (key+o_ns)` triples — nothing collects to
+    the driver, so the fixture builders feed the engine the same way a
+    production pipeline would."""
+
+    def f(t: pa.Table) -> pa.Table:
+        s = t[s_col].to_numpy(zero_copy_only=False).astype(np.int64) + s_ns
+        o = t[o_col].to_numpy(zero_copy_only=False).astype(np.int64) + o_ns
+        return _int_triples(s, _CONTAINS_PRED, o, graph=graph)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _hierarchy_edges(sf_dir: str):
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return _edge_triples(cust, "c_nationkey", _NATION_NS, "c_custkey", _CUST_NS).union(
+        _edge_triples(orders, "o_custkey", _CUST_NS, "o_orderkey", _ORDER_NS)
     )
 
 
@@ -538,7 +546,7 @@ def _kg_transitive_contains(sf_dir: str):
     )
     wd = _fresh(f"transitive-{os.path.basename(sf_dir)}")
     eng = FixpointEngine(system, wd, buckets=16, num_partitions=8)
-    eng.load_initial(rd.from_arrow(triples))
+    eng.load_initial(triples)
     eng.run(max_rounds=6)
     out = eng.dataset().map_batches(
         lambda df: pd.DataFrame(
@@ -612,19 +620,14 @@ def _kg_quads_cross_graph(sf_dir: str):
     from raydf import rules as R
     from raydf.deduce import FixpointEngine
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
-    e1 = _int_triples(
-        cust["c_nationkey"].to_numpy(np.int64) + _NATION_NS,
-        _CONTAINS_PRED,
-        cust["c_custkey"].to_numpy(np.int64) + _CUST_NS,
-        graph=_GRAPH_A,
-    )
-    e2 = _int_triples(
-        orders["o_custkey"].to_numpy(np.int64) + _CUST_NS,
-        _CONTAINS_PRED,
-        orders["o_orderkey"].to_numpy(np.int64) + _ORDER_NS,
-        graph=_GRAPH_B,
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    edges = _edge_triples(
+        cust, "c_nationkey", _NATION_NS, "c_custkey", _CUST_NS, graph=_GRAPH_A
+    ).union(
+        _edge_triples(
+            orders, "o_custkey", _CUST_NS, "o_orderkey", _ORDER_NS, graph=_GRAPH_B
+        )
     )
     system = R.System()
     system.insert(
@@ -640,7 +643,7 @@ def _kg_quads_cross_graph(sf_dir: str):
     )
     wd = _fresh(f"quads-{os.path.basename(sf_dir)}")
     eng = FixpointEngine(system, wd, buckets=16, num_partitions=8)
-    eng.load_initial(rd.from_arrow(pa.concat_tables([e1, e2])))
+    eng.load_initial(edges)
     eng.run(max_rounds=3)
     out = eng.dataset().map_batches(
         lambda df: df[df["round"] > 0][["subj", "obj"]].rename(
@@ -681,14 +684,17 @@ def _kg_type_propagation(sf_dir: str):
     from raydf import rules as R
     from raydf.deduce import FixpointEngine
 
-    docs = _read(sf_dir, "documents", columns=["doc_id"]).to_pandas()
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
     LANG_NODE = 900_000_000
     TYPE_PRED = -4
     DOC_CLASS = 910_000_000
-    triples = _int_triples(
-        docs["doc_id"].to_numpy(np.int64),
-        _CONTAINS_PRED,  # reuse as writtenIn surrogate
-        np.full(len(docs), LANG_NODE, np.int64),
+    triples = docs.map_batches(
+        lambda t: _int_triples(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            _CONTAINS_PRED,  # reuse as writtenIn surrogate
+            np.full(len(t), LANG_NODE, np.int64),
+        ),
+        batch_format="pyarrow",
     )
     system = R.System()
     system.insert(
@@ -701,7 +707,7 @@ def _kg_type_propagation(sf_dir: str):
     )
     wd = _fresh(f"typeprop-{os.path.basename(sf_dir)}")
     eng = FixpointEngine(system, wd, buckets=8, num_partitions=8)
-    eng.load_initial(rd.from_arrow(triples))
+    eng.load_initial(triples)
     eng.run(max_rounds=3)
     out = eng.dataset().map_batches(
         lambda df: df[df["pred"] == TYPE_PRED][["subj"]].rename(
