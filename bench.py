@@ -112,6 +112,7 @@ _BENCH_QUERIES = [
     "dup_span_stats",
     "scrub_dup_spans",
     "kmeans_clusters",
+    "semdedup_docs",
     "pagerank_trade_graph",
     "components_trade_graph",
     "cms_token_counts",
