@@ -30,22 +30,27 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 # Pair sets at or below this run the numpy min-label union-find on the
-# driver; above it, the distributed propagation loop. 50M pairs is two
-# int64 columns ≈ 0.8 GB on a 128 GiB driver and ~seconds of vectorized
+# driver; above it, the distributed propagation loop. This is a DRIVER
+# MEMORY gate, not a style choice: 200M pairs is two int64 columns
+# ≈ 3.2 GB on a 128 GiB driver and a few seconds of vectorized
 # pointer-jumping — while the distributed loop costs several full
 # exchanges per round (measured 2026-08-19: routing a 10M-pair premerge
 # to the distributed path at 4 CPUs took >25 min where the driver path
-# takes seconds). The distributed path exists for the regime that
-# genuinely cannot fit a driver, not as the mid-scale default.
-DRIVER_PAIR_LIMIT = int(os.environ.get("RAYDF_DRIVER_PAIR_LIMIT", 50_000_000))
+# takes seconds; a 12M-file premerge lands at ~54M distinct pairs, just
+# past the previous 50M default, and ate the 4-CPU scaling leg). Size
+# to the actual driver: the distributed path exists for the regime that
+# genuinely cannot fit one, not as the mid-scale default.
+DRIVER_PAIR_LIMIT = int(os.environ.get("RAYDF_DRIVER_PAIR_LIMIT", 200_000_000))
 
 # Above this many (node, canon) rows the mapping is no longer broadcast via
 # ray.put into remap stages — it stays a Dataset and remaps via the joined
 # path (unbounded sameAs growth must not bound the flagship's merge scale
-# on driver memory — VERDICT r03 #2). 2M rows ≈ 32 MB of two int64 arrays,
-# comfortably broadcastable; the gate exists for the regime far past it.
+# on driver memory — VERDICT r03 #2). 50M rows ≈ 0.8 GB of two int64
+# arrays, one ray.put read zero-copy by every task with an O(log n)
+# searchsorted probe per row — far cheaper than the joined path's four
+# value-partitioned exchanges at any size that fits the object store.
 MAPPING_BROADCAST_LIMIT = int(
-    os.environ.get("RAYDF_MAPPING_BROADCAST_LIMIT", 2_000_000)
+    os.environ.get("RAYDF_MAPPING_BROADCAST_LIMIT", 50_000_000)
 )
 
 

@@ -238,6 +238,22 @@ def _gated_mapping(pairs, *, num_partitions: int):
             ds = cz.canonical_mapping_distributed_ds(
                 pairs.select_columns(["a", "b"]), num_partitions=num_partitions
             ).materialize()
+            # re-gate on the RESULT: a huge pair set often collapses to a
+            # mapping that broadcasts fine (heavy duplication = few merged
+            # nodes per component). Collecting it here keeps every
+            # downstream consumer on the vectorized broadcast remap
+            # instead of the joined exchanges.
+            if ds.count() <= cz.MAPPING_BROADCAST_LIMIT:
+                df = ds.to_pandas()
+                return (
+                    pd.DataFrame(
+                        {
+                            "node": df["node"].to_numpy(np.int64),
+                            "canon": df["canon"].to_numpy(np.int64),
+                        }
+                    ),
+                    None,
+                )
             return None, ds
         if n == 0:
             return empty, None
