@@ -491,7 +491,8 @@ def bloom_maybe_contains(bloom, keys: "np.ndarray") -> "np.ndarray":
 
 def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj", "graph"),
                          num_partitions: int | None = None,
-                         flag_col: str | None = None):
+                         flag_col: str | None = None,
+                         hot_min: int | None = None):
     """Remap id columns via per-column partitioned hash lookups — the scale
     path when the canonical mapping exceeds broadcast limits (unbounded
     sameAs growth). One coarse union+groupby shuffle per remapped column;
@@ -567,12 +568,51 @@ def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj",
     # majority (no id in the mapping) bypasses all four exchanges, and the
     # dirty rows' hot keys are actual mapping ids — md5-low64, uniform.
     # FP rows (≈1.5%) just miss the lookup and pass through unchanged.
-    # NOTE: triples_ds is consumed twice (clean + dirty scan) — callers
-    # pass materialized or file-backed datasets.
+    # NOTE: triples_ds is consumed three times (clean scan + dirty scan +
+    # a column-pruned hot-value scan) — callers pass materialized or
+    # file-backed datasets.
     n_map = mapping_ds.count()
     if n_map == 0:
         return flagged
     bloom_ref = ray.put(build_key_bloom(mapping_ds, "node", n_hint=n_map))
+
+    # ---- Exact hot-value inline remap + passenger routing. Two residual
+    # skew sources survive the bloom gate: (a) a dirty row rides EVERY
+    # column exchange, so a row dirty only on subj still gets partitioned
+    # by its pred (~10 distinct values) and graph (constant 0) in those
+    # passes — the whole dirty set funnels into a handful of reduce tasks;
+    # (b) a genuinely hot mapped id (or a bloom FP on a constant value)
+    # keys one partition with its full row share. Routing fix, per column:
+    # rows whose value bloom-MISSES the mapping are PASSENGERS (uniform
+    # partition id, excluded from the lookup — exact: zero false
+    # negatives); rows whose value is a detected heavy hitter are remapped
+    # INLINE against a driver-fetched slice of the mapping (always tiny:
+    # ≤ |cols|·P values) and ride as passengers too; only cold bloom-hit
+    # values key the exchange — and by the hot threshold none of them
+    # exceeds the one-partition share. One extra column-pruned streaming
+    # pass over the input (top-K counts per block) buys the balance.
+    from raydf.joins import hot_values
+
+    if hot_min is None:
+        hot_min = int(os.environ.get("RAYDF_REMAP_HOT_MIN", 100_000))
+    hot, _total = hot_values(
+        triples_ds.select_columns(id_cols), id_cols, P=P, min_hot=hot_min
+    )
+    all_hot = np.unique(np.concatenate([hot[c] for c in id_cols]))
+    if len(all_hot):
+        def _hot_rows(t: pa.Table) -> pa.Table:
+            node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(all_hot, node), 0, len(all_hot) - 1)
+            return t.filter(pa.array(all_hot[pos] == node))
+
+        hm = mapping_ds.map_batches(_hot_rows, batch_format="pyarrow").to_pandas()
+        hk = hm["node"].to_numpy(np.int64)
+        order = np.argsort(hk)
+        hk = hk[order]
+        hv = hm["canon"].to_numpy(np.int64)[order]
+    else:
+        hk = hv = np.empty(0, np.int64)
+    hot_ref = ray.put((hk, hv, hot))
 
     def _split(want_dirty: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -594,12 +634,47 @@ def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj",
     for c in cols:
 
         def tag_left(t: pa.Table, _c=c) -> pa.Table:
-            key = t[_c].to_numpy(zero_copy_only=False)
+            key = t[_c].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(t)
+            bloom = ray.get(bloom_ref)
+            hk_, hv_, hot_ = ray.get(hot_ref)
+            maybe = bloom_maybe_contains(bloom, key)
+            hs = hot_.get(_c)
+            if hs is not None and len(hs):
+                pos = np.clip(np.searchsorted(hs, key), 0, len(hs) - 1)
+                ishot = hs[pos] == key
+            else:
+                ishot = np.zeros(n, bool)
+            new = key
+            if ishot.any() and len(hk_):
+                pos = np.clip(np.searchsorted(hk_, key), 0, len(hk_) - 1)
+                inmap = ishot & (hk_[pos] == key)
+                if inmap.any():
+                    new = np.where(inmap, hv_[pos], key)
+                    i = t.schema.get_field_index(_c)
+                    t = t.set_column(i, t.schema.field(i), pa.array(new, pa.int64()))
+                    if flag_col is not None:
+                        chg = (
+                            t[flag_col].to_numpy(zero_copy_only=False)
+                            | (new != key)
+                        )
+                        j = t.schema.get_field_index(flag_col)
+                        t = t.set_column(j, t.schema.field(j),
+                                         pa.array(chg, pa.bool_()))
+            # lookups (cold bloom-hits) key the exchange; everything else
+            # is a passenger on a uniform partition id (block-offset so
+            # many small blocks don't all start at partition 0)
+            lookup = maybe & ~ishot
+            off = int(_mix64(key[:1])[0] % np.uint64(P)) if n else 0
+            p = np.where(lookup, _mix_mod(new, P), (np.arange(n) + off) % P)
             t = widen_offsets(t)
-            t = t.append_column("__node", pa.nulls(len(t), pa.int64()))
-            t = t.append_column("__canon", pa.nulls(len(t), pa.int64()))
-            t = t.append_column("__side", pa.array(np.zeros(len(t), np.int8)))
-            return t.append_column("__p", pa.array(_mix_mod(key, P), pa.int64()))
+            t = t.append_column("__node", pa.nulls(n, pa.int64()))
+            t = t.append_column("__canon", pa.nulls(n, pa.int64()))
+            t = t.append_column(
+                "__side",
+                pa.array(np.where(lookup, 0, 2).astype(np.int8)),
+            )
+            return t.append_column("__p", pa.array(p, pa.int64()))
 
         def tag_right(t: pa.Table) -> pa.Table:
             node = t["node"].to_numpy(zero_copy_only=False)
@@ -629,9 +704,15 @@ def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj",
                     f"{t.schema.field(_c).type} (expected int64) — a pandas "
                     "block slipped into the exchange and degraded id columns"
                 )
-            right = pc.equal(t["__side"], 1)
-            l = t.filter(pc.invert(right)).select(tcols)
-            r = t.filter(right)
+            # __side: 0 = lookup row, 1 = mapping row, 2 = passenger
+            # (bloom-miss or inline-remapped hot row — rides the exchange
+            # for schema continuity but must NOT be value-looked-up: an
+            # inline-remapped row's new canon could coincidentally equal a
+            # mapping node in this partition and be remapped twice)
+            side = t["__side"]
+            pas = t.filter(pc.equal(side, 2)).select(tcols)
+            l = t.filter(pc.equal(side, 0)).select(tcols)
+            r = t.filter(pc.equal(side, 1))
             if len(r) and len(l):
                 k = r["__node"].to_numpy(zero_copy_only=False).astype(np.int64)
                 v = r["__canon"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -646,7 +727,7 @@ def remap_triples_joined(triples_ds, mapping_ds, *, cols=("subj", "pred", "obj",
                     chg = l[flag_col].to_numpy(zero_copy_only=False) | (new != arr)
                     j = l.schema.get_field_index(flag_col)
                     l = l.set_column(j, l.schema.field(j), pa.array(chg, pa.bool_()))
-            return l
+            return pa.concat_tables([l, pas]) if len(pas) else l
 
         out = u.groupby("__p").map_groups(merge, batch_format="pyarrow")
 

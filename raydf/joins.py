@@ -131,6 +131,66 @@ def partitions_for_bytes(est_bytes: int | None, *, floor: int | None = None) -> 
     return max(base, math.ceil(est_bytes / PARTITION_TARGET_BYTES))
 
 
+HOT_TOP_PER_BLOCK = 16
+
+
+def hot_values(ds, cols: Sequence[str], *, P: int,
+               min_hot: int = 100_000) -> tuple[dict, int]:
+    """Approximate per-column heavy hitters over int64 ``cols`` of ``ds``:
+    one slim streaming pass emits each block's top-``HOT_TOP_PER_BLOCK``
+    value counts plus the block's row count; the driver merges them and
+    calls a value HOT when its merged count exceeds
+    ``max(min_hot, total_rows // P)`` — the share that would fill one
+    exchange partition on its own.
+
+    Returns ``(hot, total_rows)`` with ``hot[col]`` a SORTED int64 array.
+    Approximate by design: a value is missed only if it never ranks in any
+    block's top-K — impossible for anything near the one-partition share
+    unless blocks are adversarially sorted — and a miss degrades a
+    consumer's partition balance, never correctness (callers use hot sets
+    purely to route rows around value-keyed exchanges)."""
+    import pyarrow as pa
+
+    cols = list(cols)
+
+    def partials(t: "pa.Table") -> "pa.Table":
+        ci_out, v_out, n_out = [], [], []
+        for ci, c in enumerate(cols):
+            arr = t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            v, n = np.unique(arr, return_counts=True)
+            if len(v) > HOT_TOP_PER_BLOCK:
+                top = np.argpartition(n, -HOT_TOP_PER_BLOCK)[-HOT_TOP_PER_BLOCK:]
+                v, n = v[top], n[top]
+            ci_out.append(np.full(len(v), ci, np.int64))
+            v_out.append(v)
+            n_out.append(n.astype(np.int64))
+        # sentinel row carrying the block's row count (col index -1)
+        ci_out.append(np.array([-1], np.int64))
+        v_out.append(np.array([0], np.int64))
+        n_out.append(np.array([len(t)], np.int64))
+        return pa.table(
+            {
+                "c": pa.array(np.concatenate(ci_out), pa.int64()),
+                "v": pa.array(np.concatenate(v_out), pa.int64()),
+                "n": pa.array(np.concatenate(n_out), pa.int64()),
+            }
+        )
+
+    p = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    total = int(p.loc[p["c"] == -1, "n"].sum())
+    thresh = max(min_hot, total // max(P, 1))
+    agg = p[p["c"] >= 0].groupby(["c", "v"])["n"].sum()
+    hot: dict = {}
+    lvl0 = agg.index.get_level_values(0) if len(agg) else []
+    for ci, c in enumerate(cols):
+        if len(agg) and ci in lvl0:
+            s = agg.loc[ci]
+            hot[c] = np.sort(s[s >= thresh].index.to_numpy(np.int64))
+        else:
+            hot[c] = np.empty(0, np.int64)
+    return hot, total
+
+
 def _widen_type(t):
     """32-bit-offset varlen arrow type → its 64-bit (large_*) form."""
     import pyarrow as pa

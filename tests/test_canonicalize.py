@@ -134,6 +134,66 @@ def test_remap_joined_matches_broadcast(ray_session):
     assert fj["__changed"].all()  # every fixture row touches a mapped id
 
 
+def test_remap_joined_hot_inline_matches_broadcast(ray_session):
+    """Forced-hot routing (hot_min=0 → every observed value is a heavy
+    hitter) must stay byte-identical to the broadcast remap: hot mapped
+    values are remapped INLINE and ride the exchanges as passengers, never
+    value-keyed — including a pred remapped on EVERY row (the planted hot
+    key) and a constant graph column (the bloom-FP shape that funneled the
+    12M 4-CPU leg into one reduce task)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydf.canonicalize import remap_triples, remap_triples_joined
+    from raydf.schema import TRIPLES_SCHEMA
+
+    rng = np.random.default_rng(7)
+    n = 2_000
+    big = np.int64(2**62 + 99)
+    subj = rng.integers(1, 400, n).astype(np.int64)
+    subj[0] = big
+    rows = pa.table(
+        {
+            "subj": pa.array(subj, pa.int64()),
+            "pred": pa.array(np.full(n, 7, np.int64)),  # hot AND mapped
+            "obj": pa.array(rng.integers(1, 400, n).astype(np.int64), pa.int64()),
+            "sign": pa.array([True] * n, pa.bool_()),
+            "graph": pa.array(np.zeros(n, np.int64)),  # hot, NOT mapped
+            "rule_idx": pa.nulls(n, pa.int32()),
+            "round": pa.array([0] * n, pa.int32()),
+            "substitution": pa.nulls(n, pa.large_list(pa.int64())),
+            "content_sha256": pa.nulls(n, pa.string()),
+        },
+        schema=TRIPLES_SCHEMA,
+    )
+    mapping = pd.DataFrame(
+        {"node": np.array([7, 13, int(big)], dtype=np.int64),
+         "canon": np.array([5, 11, 1], dtype=np.int64)}
+    )
+    tds = rd.from_arrow(rows).materialize()
+    mds = rd.from_arrow(
+        pa.table({"node": pa.array(mapping["node"], pa.int64()),
+                  "canon": pa.array(mapping["canon"], pa.int64())})
+    )
+    cols = ["subj", "pred", "obj", "sign", "graph"]
+    via_bcast = (
+        remap_triples(tds, mapping, flag_col="__chg").to_pandas()
+        .sort_values(cols).reset_index(drop=True)
+    )
+    via_join = (
+        remap_triples_joined(tds, mds, flag_col="__chg", hot_min=0)
+        .to_pandas().sort_values(cols).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        via_join[cols + ["__chg"]], via_bcast[cols + ["__chg"]]
+    )
+    assert set(via_join["pred"]) == {5}  # planted hot pred remapped everywhere
+    assert set(via_join["graph"]) == {0}  # hot unmapped constant untouched
+    assert 1 in set(via_join["subj"])  # full-range id exact through inline path
+
+
 def test_compose_mappings_ds_matches_driver(ray_session):
     """Distributed mapping composition (total ∘ new as Datasets) must equal
     the driver compose_mappings on the same inputs."""
