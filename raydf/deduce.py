@@ -486,7 +486,25 @@ class FixpointEngine:
     # ------------------------------------------------------ dedup/write
 
     def _dedup_and_write(self, cand_ds, round_no: int) -> int:
-        """candidates ∖ accumulated → ckpt/triples/round=K (bucketed)."""
+        """candidates ∖ accumulated → ckpt/triples/round=K (bucketed).
+
+        Exchange-free: the candidates stream straight into a
+        bucket-partitioned staging write (hive layout, no shuffle — each
+        map task appends its rows to every bucket it touches), then
+        ``buckets`` independent finalize tasks each read ONE staged
+        bucket, dedupe within it and anti-join the accumulated store's
+        same bucket, and write the round's final per-bucket file. This
+        replaced a ``groupby("bucket").map_groups`` sort exchange: the
+        all-to-all barrier cost ~120 s of CPU-count-INVARIANT wall at 12M
+        files — A/B on the 122M-row full-width checkpoint (2026-08-19,
+        fresh processes, taskset-pinned): sort shuffle 192.6 s @ 4 CPUs /
+        77.9 s @ 16; Ray 2.49 HASH_SHUFFLE 83.6 s @ 16; this staged write
+        100.1 s @ 4 / 23.0 s @ 16 — 3.4× faster at 16 CPUs and the 4→16
+        speedup goes 2.47× → 4.35×. The staging copy is one extra
+        sequential write+read of the round's candidates — disk bandwidth
+        scales with nodes on a real cluster, the shuffle barrier doesn't.
+        Per-bucket finalize holds one bucket in memory: size ``buckets``
+        so candidates/buckets ≈ ≤1 GB decoded (the kg_pipeline knob)."""
         ckpt = self.ckpt
         buckets = self.buckets
 
@@ -507,23 +525,58 @@ class FixpointEngine:
             local_dedup, batch_format="pyarrow"
         )
 
-        def check_group(tbl: pa.Table) -> pa.Table:
-            h = tbl["h"].to_numpy(zero_copy_only=False)
+        out_dir = os.path.join(ckpt, "triples", f"round-{round_no}")
+        tmp_dir = os.path.join(ckpt, "triples", f"_staging-round-{round_no}")
+        _fresh_dir(out_dir)  # a crashed, un-manifested attempt must not double-append
+        _fresh_dir(tmp_dir)
+        withh.write_parquet(tmp_dir, partition_cols=["bucket"])
+
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def _finalize_bucket(j: int) -> int:
+            staged = glob.glob(os.path.join(tmp_dir, f"bucket={j}", "*.parquet"))
+            if not staged:
+                return 0
+            # per-file ParquetFile reads, NOT pq.read_table(list): the
+            # dataset factory would infer a hive `bucket` partition field
+            # (dictionary<int32>) from the path and fail to merge it with
+            # any real int32 bucket column — and the round's final files
+            # must stay bucket-free like the groupby path's were
+            parts = []
+            for f in staged:
+                tf = pq.ParquetFile(f).read()
+                if "bucket" in tf.schema.names:
+                    tf = tf.drop_columns(["bucket"])
+                parts.append(tf)
+            t = pa.concat_tables(parts)
+            h = t["h"].to_numpy(zero_copy_only=False)
             keep = ~pd.Series(h).duplicated().to_numpy()
-            j = int(tbl["bucket"][0].as_py())
-            files = glob.glob(
+            # accumulated store: earlier rounds only (out_dir is fresh and
+            # empty; the staging dir's "_staging-" prefix misses "round-*")
+            old = glob.glob(
                 os.path.join(ckpt, "triples", "round-*", f"bucket={j}", "*.parquet")
             )
-            if files:
-                existing = pq.read_table(files, columns=["h"])["h"].to_numpy()
+            if old:
+                existing = np.concatenate(
+                    [pq.ParquetFile(f).read(columns=["h"])["h"].to_numpy()
+                     for f in old]
+                )
                 keep &= ~np.isin(h, existing)
-            return tbl.filter(pa.array(keep)).select(ckpt_schema.names).cast(ckpt_schema)
+            t = t.filter(pa.array(keep))
+            if len(t) == 0:
+                return 0
+            os.makedirs(os.path.join(out_dir, f"bucket={j}"), exist_ok=True)
+            pq.write_table(
+                t, os.path.join(out_dir, f"bucket={j}", "part-0.parquet")
+            )
+            return len(t)
 
-        new_ds = withh.groupby("bucket").map_groups(check_group, batch_format="pyarrow")
-        out_dir = os.path.join(ckpt, "triples", f"round-{round_no}")
-        _fresh_dir(out_dir)  # a crashed, un-manifested attempt must not double-append
-        new_ds.write_parquet(out_dir, partition_cols=["bucket"])
-        return _count_parquet_rows(out_dir)
+        counts = ray.get([_finalize_bucket.remote(j) for j in range(buckets)])
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return int(sum(counts))
 
     # ------------------------------------------------------------ rounds
 
@@ -976,10 +1029,3 @@ def _fresh_dir(d: str) -> None:
     if os.path.exists(d):
         shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
-
-
-def _count_parquet_rows(directory: str) -> int:
-    total = 0
-    for f in glob.glob(os.path.join(directory, "**", "*.parquet"), recursive=True):
-        total += pq.ParquetFile(f).metadata.num_rows
-    return total
