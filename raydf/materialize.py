@@ -62,20 +62,72 @@ def materialize_graph(
         subj = t["subj"].to_numpy(zero_copy_only=False)
         return t.append_column("bucket", pa.array(_mix_mod(subj, B), pa.int64()))
 
-    def sort_bucket(t: pa.Table) -> pa.Table:
-        return t.sort_by([("subj", "ascending"), ("pred", "ascending")])
+    if os.environ.get("RAYDF_SORT_EXCHANGE", "0") != "0":
+        # A/B control: the groupby sort-exchange bucket path. The staged
+        # write below replaced it for the same reason as
+        # deduce._dedup_and_write: the all-to-all barrier is
+        # CPU-count-invariant wall the staging write doesn't pay.
+        def sort_bucket(t: pa.Table) -> pa.Table:
+            return t.sort_by([("subj", "ascending"), ("pred", "ascending")])
 
-    (
-        triples_ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(sort_bucket, batch_format="pyarrow")
-        .write_parquet(
-            triples_dir,
-            partition_cols=["bucket"],
-            min_rows_per_file=min_rows_per_file,
-            mode="overwrite",
+        (
+            triples_ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(sort_bucket, batch_format="pyarrow")
+            .write_parquet(
+                triples_dir,
+                partition_cols=["bucket"],
+                min_rows_per_file=min_rows_per_file,
+                mode="overwrite",
+            )
         )
-    )
+    else:
+        # staged bucket write: stream triples into a hive bucket-partitioned
+        # staging dir (no shuffle), then one task per bucket reads, sorts by
+        # (subj, pred) and writes its final bucket files — per-bucket memory
+        # ≈ triples/B rows, so B is the sizing knob
+        import glob
+        import shutil
+
+        import pyarrow.parquet as pq
+        import ray
+
+        staged = triples_dir + "_staging"
+        shutil.rmtree(triples_dir, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
+        triples_ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+            staged, partition_cols=["bucket"]
+        )
+
+        @ray.remote(num_cpus=1)
+        def _sort_bucket(j: int) -> int:
+            files = glob.glob(os.path.join(staged, f"bucket={j}", "*.parquet"))
+            if not files:
+                return 0
+            parts = []
+            for f in files:
+                tf = pq.ParquetFile(f).read()
+                if "bucket" in tf.schema.names:  # hive strips it; be safe
+                    tf = tf.drop_columns(["bucket"])
+                parts.append(tf)
+            import pyarrow as pa
+
+            t = pa.concat_tables(parts).sort_by(
+                [("subj", "ascending"), ("pred", "ascending")]
+            )
+            if len(t) == 0:
+                return 0
+            d = os.path.join(triples_dir, f"bucket={j}")
+            os.makedirs(d, exist_ok=True)
+            for i in range(0, len(t), min_rows_per_file):
+                pq.write_table(
+                    t.slice(i, min_rows_per_file),
+                    os.path.join(d, f"part-{i // min_rows_per_file:05d}.parquet"),
+                )
+            return len(t)
+
+        ray.get([_sort_bucket.remote(j) for j in range(B)])
+        shutil.rmtree(staged, ignore_errors=True)
     # readers prune point lookups to bucket=_mix_mod(subj, B) — B must be
     # discoverable without listing (empty buckets write no directory)
     with open(os.path.join(triples_dir, "_BUCKETS"), "w") as f:
