@@ -566,10 +566,20 @@ class FixpointEngine:
             t = t.filter(pa.array(keep))
             if len(t) == 0:
                 return 0
-            os.makedirs(os.path.join(out_dir, f"bucket={j}"), exist_ok=True)
-            pq.write_table(
-                t, os.path.join(out_dir, f"bucket={j}", "part-0.parquet")
-            )
+            d = os.path.join(out_dir, f"bucket={j}")
+            os.makedirs(d, exist_ok=True)
+            # slice into ~500k-row files with 125k-row row groups: one
+            # monolithic per-bucket file (first cut: 219 MB, 850k-row row
+            # groups at 12M) throttled every downstream rule-join scan —
+            # fewer/coarser read tasks and row-group pushdown units than
+            # the exchange path's many reduce-task files (measured:
+            # transitive_contains round-2 57→122 s at 16 CPUs)
+            for i in range(0, len(t), 500_000):
+                pq.write_table(
+                    t.slice(i, 500_000),
+                    os.path.join(d, f"part-{i // 500_000:05d}.parquet"),
+                    row_group_size=125_000,
+                )
             return len(t)
 
         counts = ray.get([_finalize_bucket.remote(j) for j in range(buckets)])

@@ -123,6 +123,10 @@ def materialize_graph(
                 pq.write_table(
                     t.slice(i, min_rows_per_file),
                     os.path.join(d, f"part-{i // min_rows_per_file:05d}.parquet"),
+                    # fine row groups keep point-lookup predicate pushdown
+                    # and downstream scan parallelism at the exchange
+                    # path's granularity
+                    row_group_size=125_000,
                 )
             return len(t)
 

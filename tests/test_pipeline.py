@@ -314,3 +314,57 @@ def test_resume_refuses_mismatched_format(tmp_path):
     d3.mkdir()
     _check_workdir_format(str(d3))
     _check_workdir_format(str(d3))  # idempotent
+
+
+def test_materialize_staged_matches_sort_exchange(tmp_path, monkeypatch, ray_session):
+    """The staged bucket write (default) and the groupby sort-exchange
+    control (RAYDF_SORT_EXCHANGE=1) must produce byte-equivalent stores:
+    same bucket assignment, same within-bucket (subj,pred) order, same
+    decoded triple set, same _BUCKETS contract."""
+    import pyarrow as pa
+
+    from raydf.materialize import materialize_graph, read_graph, store_buckets
+
+    rng = np.random.default_rng(3)
+    n = 5_000
+    triples = pa.table(
+        {
+            "subj": pa.array(rng.integers(-2**62, 2**62, n), pa.int64()),
+            "pred": pa.array(rng.integers(1, 9, n), pa.int64()),
+            "obj": pa.array(rng.integers(-2**62, 2**62, n), pa.int64()),
+            "sign": pa.array(rng.integers(0, 2, n).astype(bool)),
+        }
+    )
+    terms = pa.table(
+        {"term_id": pa.array(np.arange(10, dtype=np.int64)),
+         "lexical": pa.array([f"t{i}" for i in range(10)])}
+    )
+    outs = {}
+    for name, env in (("staged", "0"), ("exchange", "1")):
+        monkeypatch.setenv("RAYDF_SORT_EXCHANGE", env)
+        out = str(tmp_path / name)
+        materialize_graph(
+            rd.from_arrow(triples), rd.from_arrow(terms), out,
+            min_rows_per_file=700, sort_buckets=8,
+        )
+        assert store_buckets(out) == 8
+        dfs = []
+        for d in sorted(glob.glob(os.path.join(out, "triples", "bucket=*"))):
+            k = int(os.path.basename(d).split("=")[1])
+            df = pq.read_table(
+                sorted(glob.glob(os.path.join(d, "*.parquet")))
+            ).to_pandas()
+            key = list(zip(df["subj"], df["pred"]))
+            assert key == sorted(key), f"bucket {k} not (subj,pred)-sorted"
+            df["bucket"] = k
+            dfs.append(df)
+        outs[name] = (
+            pd.concat(dfs)
+            .sort_values(["bucket", "subj", "pred", "obj", "sign"])
+            .reset_index(drop=True)
+        )
+        assert read_graph(out).count() == n
+    pd.testing.assert_frame_equal(
+        outs["staged"][["bucket", "subj", "pred", "obj", "sign"]],
+        outs["exchange"][["bucket", "subj", "pred", "obj", "sign"]],
+    )
