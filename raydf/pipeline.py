@@ -318,7 +318,13 @@ def kg_pipeline(
         const_tbl = R_const_terms_table(system)
         if len(const_tbl):
             tds = tds.union(rd.from_arrow(const_tbl))
-        joins.distinct(tds, ["term_id"]).write_parquet(terms_dir, mode="overwrite")
+        if os.environ.get("RAYDF_SORT_EXCHANGE", "0") != "0":
+            # A/B control: distinct's groupby exchange + plain write
+            joins.distinct(tds, ["term_id"]).write_parquet(
+                terms_dir, mode="overwrite"
+            )
+        else:
+            joins.distinct_write(tds, ["term_id"], terms_dir)
         _mark_done(terms_dir)
     metrics["stages"]["terms"] = time.time() - t0
 

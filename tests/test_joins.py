@@ -337,3 +337,43 @@ def test_join_partition_policy(ray_session, monkeypatch):
     assert _join_partitions(2) == 2
     monkeypatch.setenv("RAYDF_JOIN_PARTITION_CAP", "3")
     assert _join_partitions(1000) == 3
+
+
+def test_distinct_write_matches_distinct_exchange(tmp_path, ray_session):
+    """distinct_write (staged bucket write, no exchange) must produce the
+    same distinct row set — including full-range int64 ids and text
+    payload columns — as distinct().write_parquet, and slice output into
+    <= rows_per_file-row files."""
+    import pyarrow.parquet as pq
+
+    from raydf.joins import distinct_write
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(-(2**62), 2**62, size=5_000, dtype=np.int64)
+    ids = np.concatenate([ids, ids[:2_000]])  # guaranteed dupes
+    t = pa.table(
+        {
+            "term_id": pa.array(ids, pa.int64()),
+            "lex": pa.array([f"term-{i & 1023}" for i in ids.tolist()]),
+        }
+    )
+    ds = rd.from_arrow(t)
+
+    exch_dir = str(tmp_path / "exchange")
+    distinct(ds, ["term_id"]).write_parquet(exch_dir)
+    staged_dir = str(tmp_path / "staged")
+    n = distinct_write(ds, ["term_id"], staged_dir, buckets=8, rows_per_file=300)
+
+    exp = pq.read_table(exch_dir).to_pandas().sort_values("term_id").reset_index(drop=True)
+    got = pq.read_table(staged_dir).to_pandas().sort_values("term_id").reset_index(drop=True)
+    assert n == len(exp) == len(got)
+    pd.testing.assert_frame_equal(exp, got)
+    # files are sliced and the staging dir is cleaned up
+    import glob as g
+    import os
+
+    assert all(
+        pq.ParquetFile(f).metadata.num_rows <= 300
+        for f in g.glob(os.path.join(staged_dir, "*.parquet"))
+    )
+    assert not os.path.exists(staged_dir + "_staging")
