@@ -40,6 +40,15 @@ import ray.data as rd
 # past the previous 50M default, and ate the 4-CPU scaling leg). Size
 # to the actual driver: the distributed path exists for the regime that
 # genuinely cannot fit one, not as the mid-scale default.
+#
+# MINIMUM DRIVER MEMORY at the default 200M: the two int64 pair columns
+# are 3.2 GB, but canonical_mapping_driver's transients (lexsort indices,
+# unique masks, the pointer-jump arrays) peak at ~5-6× that — budget
+# ≥ 24 GB of driver headroom, or lower RAYDF_DRIVER_PAIR_LIMIT
+# proportionally (e.g. 25M on a 16 GB head node). The *pre-distinct*
+# driver read is separately gated to MemAvailable
+# (deduce._driver_preread_rows), so an oversized default here degrades to
+# the distributed distinct rather than an unbounded read.
 DRIVER_PAIR_LIMIT = int(os.environ.get("RAYDF_DRIVER_PAIR_LIMIT", 200_000_000))
 
 # Above this many (node, canon) rows the mapping is no longer broadcast via

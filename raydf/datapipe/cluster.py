@@ -33,6 +33,8 @@ final labelled pass streams; nothing materializes the corpus.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -145,7 +147,30 @@ def kmeans_assign(embeds, *, k: int = 8, iters: int = 2,
     return embeds.map_batches(label, batch_format="pyarrow")
 
 
-def semdedup(embeds, *, k: int = 8, iters: int = 2, eps2: int,
+# SemDeDup's defining trade is per-cluster all-pairs: the kernel builds an
+# m×m int64 distance matrix per cluster, so memory is O(m²) — 8 KB at
+# m=1k, 2.1 GB at m=16k, 80 GB at m=100k. k must therefore grow ∝ corpus
+# size (the paper's invariant). TARGET sizes auto-k (`k = max(8,
+# n // TARGET)`); MAX is the loud per-cluster guard past which the kernel
+# raises instead of letting a worker OOM opaquely (ADVICE r04 medium).
+SEMDEDUP_TARGET_CLUSTER_ROWS = int(
+    os.environ.get("RAYDF_SEMDEDUP_TARGET_CLUSTER_ROWS", 8_192)
+)
+SEMDEDUP_MAX_CLUSTER_ROWS = int(
+    os.environ.get("RAYDF_SEMDEDUP_MAX_CLUSTER_ROWS", 24_576)
+)
+
+
+def semdedup_auto_k(n_rows: int, *, target: int | None = None,
+                    k_min: int = 8) -> int:
+    """Cluster count that keeps the expected per-cluster size (and so the
+    kernel's m×m distance matrix) flat as the corpus grows. SQL-replicable:
+    ``GREATEST(k_min, n // target)`` (floor division, nonnegative)."""
+    t = target if target is not None else SEMDEDUP_TARGET_CLUSTER_ROWS
+    return max(k_min, n_rows // t)
+
+
+def semdedup(embeds, *, k: int | None = None, iters: int = 2, eps2: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
              num_partitions: int | None = None):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
@@ -169,9 +194,18 @@ def semdedup(embeds, *, k: int = 8, iters: int = 2, eps2: int,
     cluster. The all-pairs-within-cluster cost is SemDeDup's defining
     trade: k must grow ∝ corpus size so per-cluster m stays bounded
     (the paper uses k ≈ N/100k); with that invariant no partition frame
-    or distance matrix grows with total corpus size."""
+    or distance matrix grows with total corpus size. ``k=None`` (the
+    default) enforces that invariant engine-side via
+    :func:`semdedup_auto_k`; an explicit k is still bounded by the loud
+    per-cluster guard (``SEMDEDUP_MAX_CLUSTER_ROWS``) in the kernel."""
     from raydf.joins import partitioned_group_map
 
+    if k is None:
+        k = semdedup_auto_k(embeds.count())
+    # capture by VALUE at plan time: the kernel closure runs in workers,
+    # which re-import this module (a driver-side override of the module
+    # attribute would silently not apply there)
+    max_cluster_rows = SEMDEDUP_MAX_CLUSTER_ROWS
     cents = lloyd_train(embeds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     ref = ray.put(cents)
 
@@ -193,6 +227,14 @@ def semdedup(embeds, *, k: int = 8, iters: int = 2, eps2: int,
 
         out = []
         for cl, g in df.groupby("cluster", sort=False):
+            if len(g) > max_cluster_rows:
+                raise ValueError(
+                    f"semdedup cluster {cl} holds {len(g)} vectors "
+                    f"(> SEMDEDUP_MAX_CLUSTER_ROWS={max_cluster_rows}"
+                    f"); the m×m kernel would need "
+                    f"{len(g) ** 2 * 8 / 2**30:.1f} GiB — raise k (or pass "
+                    "k=None for auto-k ∝ corpus size)"
+                )
             g = g.sort_values(id_col)
             x = np.stack(g["__x"].to_numpy()).astype(np.int64)
             sq = np.einsum("nd,nd->n", x, x)

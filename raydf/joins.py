@@ -214,9 +214,19 @@ def widen_offsets(t):
     are at their biggest (low CPU count × large input — the 12M-file
     4-CPU scaling leg). Widening makes partition size a memory-sizing
     question instead of a correctness cliff; per-column cost is an O(n)
-    offset upcast, no data copy beyond the offsets."""
+    offset upcast, no data copy beyond the offsets.
+
+    Also strips schema METADATA: ``pa.Table.from_pandas`` attaches a
+    ``b'pandas'`` metadata blob that makes ``pa.Schema`` UNHASHABLE
+    (``hash(schema)`` → "unhashable type: 'dict'"), which defeats Ray's
+    schema-deduplication fast path (transform_pyarrow.unify_schemas's
+    ``len(set(schemas)) == 1`` early exit) on every bundle of every
+    downstream exchange — a silent per-bundle unify cost plus a warning
+    per reduce task. Nothing in this engine reads the pandas metadata."""
     import pyarrow as pa
 
+    if t.schema.metadata:
+        t = t.replace_schema_metadata(None)
     schema = t.schema
     widened = pa.schema(
         [pa.field(f.name, _widen_type(f.type), f.nullable) for f in schema]

@@ -133,7 +133,10 @@ def materialize_graph(
         ray.get([_sort_bucket.remote(j) for j in range(B)])
         shutil.rmtree(staged, ignore_errors=True)
     # readers prune point lookups to bucket=_mix_mod(subj, B) — B must be
-    # discoverable without listing (empty buckets write no directory)
+    # discoverable without listing (empty buckets write no directory).
+    # An all-empty triples dataset writes NO bucket dirs at all, so the
+    # marker must (re)create triples_dir itself (ADVICE r04).
+    os.makedirs(triples_dir, exist_ok=True)
     with open(os.path.join(triples_dir, "_BUCKETS"), "w") as f:
         f.write(str(B))
     terms_ds.write_parquet(terms_dir, min_rows_per_file=min_rows_per_file, mode="overwrite")

@@ -174,6 +174,42 @@ class System:
             out.extend(r.const_terms())
         return out
 
+    def deduce_from_delta(self, ckpt_dir: str, delta_ds, *,
+                          buckets: int = 16, num_partitions: int = 16,
+                          max_rounds: int = 25):
+        """One-shot INCREMENTAL deduction: seed Δ triples against an
+        existing (converged) checkpoint and semi-naive-iterate to the new
+        joint fixpoint — the reference's headline incremental entry point
+        (``System::deduce_from_triple``, src/system/mod.rs:124-149, which
+        deduces only from rule paths the new triple can feed; here the Δ
+        loads as the newest round, so every subsequent round joins ONLY
+        substitutions involving ≥1 Δ triple — same pruning, realized by
+        the semi-naive decomposition instead of the BipolarMap path
+        index).
+
+        ``ckpt_dir`` must hold a completed :class:`~raydf.deduce.
+        FixpointEngine` run of THIS system (round checkpoints + manifest).
+        Returns the engine positioned at the new fixpoint; newly derived
+        rows are the rounds past the seeded Δ round (``engine.dataset()``
+        is the full updated store)."""
+        from raydf.deduce import FixpointEngine
+
+        eng = FixpointEngine(
+            self, ckpt_dir, buckets=buckets, num_partitions=num_partitions
+        )
+        m = eng.manifest()
+        if not m["rounds"]:
+            raise ValueError(
+                f"{ckpt_dir} holds no completed rounds — deduce_from_delta "
+                "is the incremental path; run the fixpoint (load_initial + "
+                "run) first"
+            )
+        k = max(r["round"] for r in m["rounds"])
+        n = eng.load_round(delta_ds, k + 1)
+        if n:
+            eng.run(max_rounds=k + 1 + max_rounds)
+        return eng
+
 
 # ------------------------------------------------------------ JSON parsing
 

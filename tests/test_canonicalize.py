@@ -135,12 +135,18 @@ def test_remap_joined_matches_broadcast(ray_session):
 
 
 def test_remap_joined_hot_inline_matches_broadcast(ray_session):
-    """Forced-hot routing (hot_min=0 → every observed value is a heavy
-    hitter) must stay byte-identical to the broadcast remap: hot mapped
-    values are remapped INLINE and ride the exchanges as passengers, never
-    value-keyed — including a pred remapped on EVERY row (the planted hot
-    key) and a constant graph column (the bloom-FP shape that funneled the
-    12M 4-CPU leg into one reduce task)."""
+    """Forced-hot routing (hot_min=0 drops the absolute floor, so any
+    value with count > total//P is a heavy hitter) must stay
+    byte-identical to the broadcast remap: hot mapped values are remapped
+    INLINE and ride the exchanges as passengers, never value-keyed —
+    including a pred remapped on EVERY row, a >2^53 subj planted on a
+    QUARTER of the rows (so the inline remap is genuinely exercised on a
+    full-range id — ADVICE r04: a once-occurring value never crosses the
+    total//P share and silently fell to the exchange path), and a
+    constant graph column (the bloom-FP shape that funneled the 12M
+    4-CPU leg into one reduce task). Cold mapped values (the random
+    low-range ids, each count ≈ n/400) still take the exchange lookup,
+    so both routes are covered in one comparison."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -153,7 +159,7 @@ def test_remap_joined_hot_inline_matches_broadcast(ray_session):
     n = 2_000
     big = np.int64(2**62 + 99)
     subj = rng.integers(1, 400, n).astype(np.int64)
-    subj[0] = big
+    subj[: n // 4] = big  # count n/4 ≫ total//P → genuinely hot
     rows = pa.table(
         {
             "subj": pa.array(subj, pa.int64()),
@@ -191,7 +197,10 @@ def test_remap_joined_hot_inline_matches_broadcast(ray_session):
     )
     assert set(via_join["pred"]) == {5}  # planted hot pred remapped everywhere
     assert set(via_join["graph"]) == {0}  # hot unmapped constant untouched
-    assert 1 in set(via_join["subj"])  # full-range id exact through inline path
+    # full-range id exact through the INLINE path: remapped on every
+    # planted row, never surviving unmapped
+    assert int(big) not in set(via_join["subj"])
+    assert (via_join["subj"] == 1).sum() >= n // 4
 
 
 def test_compose_mappings_ds_matches_driver(ray_session):

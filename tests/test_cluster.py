@@ -216,3 +216,52 @@ def test_semdedup_keeps_everything_below_threshold():
         rd.from_arrow(emb_table(vecs)), k=2, iters=1, eps2=1
     ).to_pandas()
     assert len(out) == 40 and out["kept"].all()
+
+
+def test_semdedup_auto_k_scales_with_corpus():
+    """Engine-enforced SemDeDup invariant (VERDICT r04 #9 / ADVICE r04
+    medium): k grows ∝ corpus size, so the expected per-cluster row count
+    (and hence the m×m kernel matrix) stays FLAT as the corpus grows
+    100× instead of the O((N/k)²) blowup a fixed k=8 gives."""
+    t = cluster.SEMDEDUP_TARGET_CLUSTER_ROWS
+    small, big = 20 * t, 2000 * t  # 100× growth
+    k_small = cluster.semdedup_auto_k(small)
+    k_big = cluster.semdedup_auto_k(big)
+    assert small // k_small == big // k_big == t  # per-cluster rows flat
+    # tiny corpora floor at k_min=8 (the driver-sf regime, oracle k=8)
+    assert cluster.semdedup_auto_k(500) == 8
+    assert cluster.semdedup_auto_k(0) == 8
+    # SQL-replicable: GREATEST(8, n // 8192) — plain floor division
+    assert cluster.semdedup_auto_k(8192 * 9 + 1) == 9
+
+
+def test_semdedup_auto_k_end_to_end_matches_explicit():
+    """k=None (auto) at sub-floor corpus size must run with k_min=8 and
+    equal the explicit k=8 result bit-for-bit."""
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(scale=0.4, size=(64, 8)) + 2.0 * (np.arange(64) % 8)[:, None]
+    eps2 = 10_000_000_000
+    explicit = (
+        cluster.semdedup(rd.from_arrow(emb_table(vecs)), k=8, iters=2, eps2=eps2)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    auto = (
+        cluster.semdedup(rd.from_arrow(emb_table(vecs)), k=None, iters=2, eps2=eps2)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (auto["cluster"].to_numpy() == explicit["cluster"].to_numpy()).all()
+    assert (auto["kept"].to_numpy() == explicit["kept"].to_numpy()).all()
+
+
+def test_semdedup_oversize_cluster_raises_loudly(monkeypatch):
+    """A cluster past SEMDEDUP_MAX_CLUSTER_ROWS must fail with a sized,
+    actionable error — not an opaque worker OOM (ADVICE r04 medium)."""
+    import pytest
+
+    monkeypatch.setattr(cluster, "SEMDEDUP_MAX_CLUSTER_ROWS", 8)
+    rng = np.random.default_rng(37)
+    vecs = rng.normal(scale=0.1, size=(32, 8))  # one tight blob, k=1
+    with pytest.raises(Exception, match="SEMDEDUP_MAX_CLUSTER_ROWS"):
+        cluster.semdedup(
+            rd.from_arrow(emb_table(vecs)), k=1, iters=1, eps2=1
+        ).to_pandas()
