@@ -48,14 +48,40 @@ def materialize_graph(
     triples_dir = os.path.join(out_dir, "triples")
     terms_dir = os.path.join(out_dir, "terms")
 
+    # the dictionary write is independent of the triples layout — run it
+    # in a worker thread so its (distinct + optional joined-remap)
+    # pipeline overlaps the triples staging/sort instead of serializing
+    # after it (the "materialize finalize" driver gap of the r04 scaling
+    # post-mortem); two driver threads = two streaming jobs interleaving
+    # at the Ray scheduler
+    import threading
+
+    terms_exc: list[BaseException] = []
+
+    def _write_terms() -> None:
+        try:
+            terms_ds.write_parquet(
+                terms_dir, min_rows_per_file=min_rows_per_file, mode="overwrite"
+            )
+        except BaseException as e:
+            terms_exc.append(e)
+
+    terms_thread = threading.Thread(
+        target=_write_terms, name="raydf-terms-write", daemon=True
+    )
+    terms_thread.start()
+
+    def _join_terms() -> None:
+        terms_thread.join()
+        if terms_exc:
+            raise terms_exc[0]
+
     if os.environ.get("RAYDF_GLOBAL_SORT", "0") != "0":
         # A/B control: the pre-r04 global range-partitioned sort
         triples_ds.sort(["subj", "pred"]).write_parquet(
             triples_dir, min_rows_per_file=min_rows_per_file, mode="overwrite"
         )
-        terms_ds.write_parquet(
-            terms_dir, min_rows_per_file=min_rows_per_file, mode="overwrite"
-        )
+        _join_terms()
         return {"triples": triples_dir, "terms": terms_dir}
 
     def tag(t: pa.Table) -> pa.Table:
@@ -139,7 +165,7 @@ def materialize_graph(
     os.makedirs(triples_dir, exist_ok=True)
     with open(os.path.join(triples_dir, "_BUCKETS"), "w") as f:
         f.write(str(B))
-    terms_ds.write_parquet(terms_dir, min_rows_per_file=min_rows_per_file, mode="overwrite")
+    _join_terms()
     return {"triples": triples_dir, "terms": terms_dir}
 
 

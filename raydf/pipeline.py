@@ -300,33 +300,61 @@ def kg_pipeline(
 
     wide_files = sorted(glob.glob(os.path.join(extracted, "*.parquet")))
 
-    # ---- stage 2: term dictionary (column-pruned re-read of the ckpt)
+    # ---- stage 2 ∥ 3+4: term dictionary (column-pruned re-read of the
+    # ckpt) in a WORKER THREAD, overlapped with the stated-triples
+    # materialize + Eq premerge + fixpoint. The dictionary is next
+    # consumed at materialize (stage 5, term ids are content hashes — no
+    # interner round-trip), while the fixpoint's round-0 residual
+    # (premerge driver union-find + ray.put + per-stage planning gaps)
+    # leaves the cluster underutilized for a CPU-count-invariant stretch
+    # — the named Amdahl term of three scaling rounds (BENCH_scaling r04:
+    # fixpoint round 0 scales 2.08× vs 3.0-3.7× for deduction rounds).
+    # Each Dataset execution is its own streaming job, so two driver
+    # threads interleave at the Ray scheduler (same pattern as
+    # FixpointEngine's per-rule binding threads); the overlap converts
+    # the serial premerge seconds into covered cluster work at BOTH
+    # scaling legs.
+    import threading
+
     terms_dir = os.path.join(workdir, "terms0")
-    t0 = time.time()
-    if not _stage_done(terms_dir):
-        tds = (
-            rd.read_parquet(
-                wide_files,
-                columns=[
-                    "s_kind", "s_lex", "s_dt",
-                    "p_kind", "p_lex", "p_dt",
-                    "o_kind", "o_lex", "o_dt",
-                ],
+    terms_exc: list[BaseException] = []
+
+    def _terms_stage() -> None:
+        t0 = time.time()
+        try:
+            if _stage_done(terms_dir):
+                return
+            tds = (
+                rd.read_parquet(
+                    wide_files,
+                    columns=[
+                        "s_kind", "s_lex", "s_dt",
+                        "p_kind", "p_lex", "p_dt",
+                        "o_kind", "o_lex", "o_dt",
+                    ],
+                )
+                .map_batches(terms_delta_batch, batch_format="pyarrow")
             )
-            .map_batches(terms_delta_batch, batch_format="pyarrow")
-        )
-        const_tbl = R_const_terms_table(system)
-        if len(const_tbl):
-            tds = tds.union(rd.from_arrow(const_tbl))
-        if os.environ.get("RAYDF_SORT_EXCHANGE", "0") != "0":
-            # A/B control: distinct's groupby exchange + plain write
-            joins.distinct(tds, ["term_id"]).write_parquet(
-                terms_dir, mode="overwrite"
-            )
-        else:
-            joins.distinct_write(tds, ["term_id"], terms_dir)
-        _mark_done(terms_dir)
-    metrics["stages"]["terms"] = time.time() - t0
+            const_tbl = R_const_terms_table(system)
+            if len(const_tbl):
+                tds = tds.union(rd.from_arrow(const_tbl))
+            if os.environ.get("RAYDF_SORT_EXCHANGE", "0") != "0":
+                # A/B control: distinct's groupby exchange + plain write
+                joins.distinct(tds, ["term_id"]).write_parquet(
+                    terms_dir, mode="overwrite"
+                )
+            else:
+                joins.distinct_write(tds, ["term_id"], terms_dir)
+            _mark_done(terms_dir)
+        except BaseException as e:  # re-raised at the join point
+            terms_exc.append(e)
+        finally:
+            metrics["stages"]["terms"] = time.time() - t0
+
+    terms_thread = threading.Thread(
+        target=_terms_stage, name="raydf-terms-stage", daemon=True
+    )
+    terms_thread.start()
 
     # ---- stage 3+4: stated triples → fixpoint ↔ Eq-merge generation loop
     t0 = time.time()
@@ -437,6 +465,10 @@ def kg_pipeline(
     )
 
     # ---- stage 5: materialize sorted, dictionary-encoded store
+    # (first consumer of the terms checkpoint — join the overlapped stage)
+    terms_thread.join()
+    if terms_exc:
+        raise terms_exc[0]
     t0 = time.time()
     out_dir = os.path.join(workdir, "graph")
     final_triples = engine.dataset()
