@@ -92,6 +92,39 @@ def synthetic_png_table(n: int) -> pa.Table:
     )
 
 
+def synthetic_jpeg_table(n: int) -> pa.Table:
+    """Deterministic REAL-container fixtures #2 — the dominant real-world
+    image format: 32×32 greyscale baseline JPEGs whose pixels are
+    BLOCK-CONSTANT (each 8×8 block = one byte of sha256(``jpeg-i``):
+    ``pixel(y, x) = digest[(y//8)*4 + (x//8)]``). A flat block has zero
+    AC energy and an integer DC, so under the all-ones quantization
+    table the DCT → quantize → IDCT round trip is bit-exact — the
+    decode stays SQL-hash-checkable while exercising the full baseline
+    path (marker parse, Huffman entropy decode, dequant, IDCT) of
+    :mod:`raydf.datapipe.jpeg`."""
+    from raydf.datapipe.jpeg import encode_jpeg
+
+    ids = np.arange(n, dtype=np.int64)
+    payloads = []
+    for i in ids:
+        raw = hashlib.sha256(f"jpeg-{i}".encode()).digest()[:16]
+        blocks = np.frombuffer(raw, np.uint8).reshape(4, 4)
+        px = np.kron(blocks, np.ones((8, 8), np.uint8))
+        payloads.append(encode_jpeg(px))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["image/jpeg"] * n, pa.string()),
+            "width": pa.array([32] * n, pa.int32()),
+            "height": pa.array([32] * n, pa.int32()),
+            "duration_ms": pa.nulls(n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def decode_payload(payload: bytes, mime: str) -> np.ndarray:
     """Decode a media payload to a 2-D uint8 pixel array.
 
@@ -100,6 +133,10 @@ def decode_payload(payload: bytes, mime: str) -> np.ndarray:
     * ``image/png`` — real container decode: PIL when the import-time
       probe found it, else the vendored pure-Python codec
       (:mod:`raydf.datapipe.png` — zlib inflate, chunk parse, unfilter).
+    * ``image/jpeg`` — real container decode: PIL when present, else the
+      vendored pure-Python baseline codec (:mod:`raydf.datapipe.jpeg` —
+      marker parse, Huffman entropy decode, dequant, IDCT; progressive /
+      subsampled streams raise loudly).
     * other ``image/*`` — real decode via PIL when present.
     * anything else — NotImplementedError, routed to ``decode_error`` rows
       by the featurizer rather than crashing the stage."""
@@ -114,6 +151,10 @@ def decode_payload(payload: bytes, mime: str) -> np.ndarray:
         from raydf.datapipe import png
 
         return png.to_grey(png.decode_png(payload))
+    if mime == "image/jpeg":
+        from raydf.datapipe import jpeg
+
+        return jpeg.to_grey(jpeg.decode_jpeg(payload))
     raise NotImplementedError(
         f"no codec for {mime}: install PIL (images) / torchaudio / pyav"
     )

@@ -326,18 +326,23 @@ def test_multimodal_featurize_plumbing():
 
 
 def test_multimodal_real_mime_is_stubbed_not_crashing():
-    # jpeg: genuinely codec-less here (png now has the vendored decoder)
+    # video: genuinely codec-less here (png AND jpeg now have vendored
+    # decoders); a corrupt jpeg payload routes to error rows, not a crash
     tbl = multimodal.synthetic_media_table(4).set_column(
-        3, "mime", pa.array(["image/jpeg"] * 4, pa.string())
+        3, "mime", pa.array(["video/mp4"] * 4, pa.string())
     )
     out = multimodal.featurize(rd.from_arrow(tbl), concurrency=1, batch_size=4).to_pandas()
     assert (~out["decoded"]).all()
-    if multimodal._PIL is None:
-        assert out["decode_error"].str.contains("no codec").all()
-    else:
-        # PIL present: the sha256-derived bytes are not a valid JPEG — the
-        # real decoder fails per-row, routed to the error column
-        assert out["decode_error"].notna().all()
+    assert out["decode_error"].str.contains("no codec").all()
+    # jpeg mime with non-jpeg bytes: the real decoder (vendored or PIL)
+    # fails per-row — "missing SOI" or PIL's parse error — routed to the
+    # error column
+    tbl_j = multimodal.synthetic_media_table(4).set_column(
+        3, "mime", pa.array(["image/jpeg"] * 4, pa.string())
+    )
+    out_j = multimodal.featurize(rd.from_arrow(tbl_j), concurrency=1, batch_size=4).to_pandas()
+    assert (~out_j["decoded"]).all()
+    assert out_j["decode_error"].notna().all()
 
 
 def test_multimodal_corrupt_png_routed_to_error_rows():
@@ -640,3 +645,88 @@ def test_tfidf_overflow_raises_instead_of_wrapping():
     with _pytest.raises((OverflowError, Exception)) as ei:
         tfidf_top_terms(docs, n_docs=10**12, k=3, num_partitions=2).to_pandas()
     assert "int64" in str(ei.value) or "Overflow" in str(ei.value)
+
+
+def test_jpeg_roundtrip_block_constant_exact():
+    """The fixture contract: block-constant pixels survive the baseline
+    DCT → quantize(all-ones) → Huffman → decode path bit-exactly (flat
+    8×8 blocks have zero AC energy and an integer DC)."""
+    import hashlib
+
+    from raydf.datapipe import jpeg
+
+    for i in range(4):
+        raw = hashlib.sha256(f"jpeg-{i}".encode()).digest()[:16]
+        blocks = np.frombuffer(raw, np.uint8).reshape(4, 4)
+        px = np.kron(blocks, np.ones((8, 8), np.uint8))
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(px))
+        assert dec.shape == (32, 32)
+        assert (dec == px).all()
+
+
+def test_jpeg_arbitrary_pixels_and_color_near_exact():
+    """Non-flat content through the full entropy/DCT path: q=1 keeps the
+    round trip within ±1 (float rounding), 3-component 4:4:4 included;
+    a real (lossy) quant table still decodes close on smooth content."""
+    from raydf.datapipe import jpeg
+
+    rng = np.random.default_rng(5)
+    grey = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(grey))
+    assert np.abs(dec.astype(int) - grey.astype(int)).max() <= 1
+    color = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    dec3 = jpeg.decode_jpeg(jpeg.encode_jpeg(color))
+    assert dec3.shape == (16, 16, 3)
+    assert np.abs(dec3.astype(int) - color.astype(int)).max() <= 1
+    q = np.array(
+        [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+         49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103,
+         99], np.int64)
+    smooth = np.add.outer(np.arange(32) * 3, np.arange(32) * 2).astype(np.uint8)
+    dec_l = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, quant=q))
+    assert np.abs(dec_l.astype(int) - smooth.astype(int)).max() < 20
+
+
+def test_jpeg_unsupported_streams_raise_loudly():
+    import pytest
+
+    from raydf.datapipe import jpeg
+
+    with pytest.raises(ValueError, match="missing SOI"):
+        jpeg.decode_jpeg(b"not a jpeg at all")
+    # progressive SOF2 marker
+    px = np.zeros((8, 8), np.uint8)
+    data = bytearray(jpeg.encode_jpeg(px))
+    idx = data.find(b"\xFF\xC0")
+    data[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg.decode_jpeg(bytes(data))
+    # 2x2-subsampled component in SOF
+    data = bytearray(jpeg.encode_jpeg(px))
+    idx = data.find(b"\xFF\xC0")
+    # SOF payload: len(2) prec(1) h(2) w(2) nc(1) then [id, samp, tq]
+    data[idx + 2 + 2 + 5 + 1 + 1] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        jpeg.decode_jpeg(bytes(data))
+
+
+def test_multimodal_jpeg_fixture_decodes_to_block_pixels():
+    """End-to-end real-container contract behind the hash-checked
+    multimodal_jpeg_featurize query: featurizer checksums over actual
+    baseline-JPEG payloads equal the direct block-constant computation."""
+    import hashlib
+
+    tbl = multimodal.synthetic_jpeg_table(8)
+    out = multimodal.featurize(rd.from_arrow(tbl), concurrency=1, batch_size=4).to_pandas()
+    assert out["decoded"].all()
+    for i in range(8):
+        raw = np.frombuffer(
+            hashlib.sha256(f"jpeg-{i}".encode()).digest()[:16], np.uint8
+        ).astype(np.int64)
+        y, x = np.mgrid[0:32, 0:32]
+        px = raw[(y // 8) * 4 + (x // 8)].reshape(32, 32)
+        row = out[out["media_id"] == i].iloc[0]
+        assert row["px_sum"] == px.sum()
+        assert row["px_wsum"] == (px.reshape(-1) * (np.arange(1024) + 1)).sum()
