@@ -1179,6 +1179,24 @@ def _multimodal_featurize(sf_dir: str):
     return out.select_columns(["media_id", "decoded", "px_sum", "px_wsum"])
 
 
+def _multimodal_jpeg_featurize(sf_dir: str):
+    """Hash-checked real-container decode #2 — the dominant real-world
+    image format: 256 actual 32×32 greyscale baseline JPEGs through the
+    same actor-pool featurizer. Fixture pixels are BLOCK-CONSTANT (each
+    8×8 block = one byte of sha256('jpeg-i')), which survives the DCT →
+    quantize(all-ones) → IDCT round trip bit-exactly, so the decode stays
+    hash-checkable while exercising the full baseline path (marker parse,
+    Huffman entropy decode, dequant, IDCT) of raydf/datapipe/jpeg.py. The
+    oracle rebuilds the pixels from sha256 hex without seeing a JPEG."""
+    import ray.data as rd
+
+    from raydf.datapipe.multimodal import featurize, synthetic_jpeg_table
+
+    media = rd.from_arrow(synthetic_jpeg_table(256))
+    out = featurize(media, concurrency=2, batch_size=64)
+    return out.select_columns(["media_id", "decoded", "px_sum", "px_wsum"])
+
+
 def _repetition_scores(sf_dir: str):
     """Gopher-style repetition quality signals (duplicate-line fraction,
     top-bigram fraction) as exact integer micro-fractions."""
@@ -1504,6 +1522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": _pq_codes,
         "bloom_user_filter": _bloom_user_filter,
         "q_events_customers_outer": _q_events_customers_outer,
+        # new in round 5 — placed inside the sample window too
+        "multimodal_jpeg_featurize": _multimodal_jpeg_featurize,
         # relational operator families (SQL-checked)
         "q1_pricing_summary": _q1_pricing_summary,
         "q_top_orders": _q_top_orders,
@@ -2542,6 +2562,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(byte * (32 * (bi + 1) + 15872)) AS BIGINT)
                        AS px_wsum
             FROM bytes GROUP BY media_id ORDER BY media_id
+        """,
+        "multimodal_jpeg_featurize": """
+            -- rebuild the JPEG fixtures' BLOCK-CONSTANT pixels
+            -- (pixel(y,x) = byte[(y//8)*4 + (x//8)] of sha256('jpeg-'||i)
+            -- digest bytes 0..15) and recompute the decode checksums the
+            -- Ray side got by actually Huffman-decoding + IDCT-ing the
+            -- baseline JPEG payloads:
+            --   px_sum  = SUM over positions of pixel
+            --   px_wsum = SUM of pixel * (p+1), p row-major in 0..1023
+            WITH ids AS (
+              SELECT unnest(generate_series(0, 255)) AS media_id
+            ), hexmap(c, v) AS (
+              VALUES ('0',0),('1',1),('2',2),('3',3),('4',4),('5',5),('6',6),
+                     ('7',7),('8',8),('9',9),('a',10),('b',11),('c',12),
+                     ('d',13),('e',14),('f',15)
+            ), dig AS (
+              SELECT media_id, sha256('jpeg-' || media_id) AS h FROM ids
+            ), bytes AS (
+              SELECT d.media_id, t.bi, 16 * h1.v + h2.v AS byte
+              FROM dig d
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bi) t
+              JOIN hexmap h1 ON h1.c = substring(d.h, 2 * t.bi + 1, 1)
+              JOIN hexmap h2 ON h2.c = substring(d.h, 2 * t.bi + 2, 1)
+            ), pos AS (
+              SELECT p, ((p // 32) // 8) * 4 + ((p % 32) // 8) AS bi
+              FROM (SELECT unnest(generate_series(0, 1023)) AS p)
+            )
+            SELECT b.media_id, TRUE AS decoded,
+                   CAST(SUM(b.byte) AS BIGINT) AS px_sum,
+                   CAST(SUM(b.byte * (pos.p + 1)) AS BIGINT) AS px_wsum
+            FROM bytes b JOIN pos ON pos.bi = b.bi
+            GROUP BY b.media_id ORDER BY media_id
         """,
         "multimodal_histogram": """
             -- rebuild the synthetic payload (sha256('image-'||i) digest

@@ -373,6 +373,8 @@ def test_multimodal_decode_real_png_when_pil_present():
 
 
 def test_multimodal_decode_raises_without_codec():
+    # image/jpeg now has a vendored decoder; the genuinely codec-less
+    # mimes are audio/video — those still raise the loud NotImplemented
     if multimodal._PIL is not None:
         import pytest
 
@@ -380,7 +382,7 @@ def test_multimodal_decode_raises_without_codec():
     import pytest
 
     with pytest.raises(NotImplementedError, match="no codec"):
-        multimodal.decode_payload(b"\xff\xd8\xff\xe0", "image/jpeg")
+        multimodal.decode_payload(b"\x00\x00\x00\x18ftyp", "video/mp4")
 
 
 def test_png_roundtrip_grey_and_rgb():
