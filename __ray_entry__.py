@@ -1197,6 +1197,50 @@ def _multimodal_jpeg_featurize(sf_dir: str):
     return out.select_columns(["media_id", "decoded", "px_sum", "px_wsum"])
 
 
+def _multimodal_wav_featurize(sf_dir: str):
+    """Hash-checked real-container decode #3 — audio: 256 actual 16 kHz
+    16-bit PCM RIFF WAVs (samples = sha256('wav-i') digest as 16 LE int16
+    tiled 64×) through the AudioFeaturizer actor pool. The emitted integer
+    waveform signatures (smp_sum, position-weighted smp_wsum, zero-crossing
+    count) prove the vendored RIFF codec (raydf/datapipe/wav.py: chunk
+    walk, PCM validation) recovered every sample in order; the oracle
+    rebuilds the int16 values from sha256 hex without seeing a WAV."""
+    import ray.data as rd
+
+    from raydf.datapipe.multimodal import AudioFeaturizer, synthetic_wav_table
+
+    media = rd.from_arrow(synthetic_wav_table(256))
+    out = media.map_batches(
+        AudioFeaturizer, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    return out.select_columns(
+        ["media_id", "decoded", "n_samples", "rate", "smp_sum", "smp_wsum", "zcross"]
+    )
+
+
+def _multimodal_video_frames(sf_dir: str):
+    """Hash-checked real-container decode #4 — video: 64 actual 8-frame
+    32×32 YUV4MPEG2 streams (frame-f luma = sha256('vid-i-f') digest ×32)
+    through the VideoFrameSampler actor pool at every_n=2 → one row per
+    sampled frame {0,2,4,6} with exact luma checksums. Sampling is a
+    fixed-offset byte seek (raydf/datapipe/y4m.py), not a full decode —
+    the property a 100 TB video corpus relies on; the oracle rebuilds the
+    sampled frames' pixels from sha256 hex without seeing a container."""
+    import ray.data as rd
+
+    from raydf.datapipe.multimodal import VideoFrameSampler, synthetic_y4m_table
+
+    media = rd.from_arrow(synthetic_y4m_table(64, frames=8))
+    out = media.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"every_n": 2},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+    )
+    return out.select_columns(["media_id", "frame", "decoded", "px_sum", "px_wsum"])
+
+
 def _repetition_scores(sf_dir: str):
     """Gopher-style repetition quality signals (duplicate-line fraction,
     top-bigram fraction) as exact integer micro-fractions."""
@@ -1524,6 +1568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_customers_outer": _q_events_customers_outer,
         # new in round 5 — placed inside the sample window too
         "multimodal_jpeg_featurize": _multimodal_jpeg_featurize,
+        "multimodal_wav_featurize": _multimodal_wav_featurize,
+        "multimodal_video_frames": _multimodal_video_frames,
         # relational operator families (SQL-checked)
         "q1_pricing_summary": _q1_pricing_summary,
         "q_top_orders": _q_top_orders,
@@ -2594,6 +2640,96 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(b.byte * (pos.p + 1)) AS BIGINT) AS px_wsum
             FROM bytes b JOIN pos ON pos.bi = b.bi
             GROUP BY b.media_id ORDER BY media_id
+        """,
+        "multimodal_wav_featurize": """
+            -- rebuild the WAV fixtures' samples (sample(p) = base[p % 16],
+            -- base[j] = int16le(digest bytes 2j, 2j+1) of sha256('wav-'||i),
+            -- 1024 samples) and recompute the waveform signatures the Ray
+            -- side got by actually chunk-walking + PCM-decoding the RIFF
+            -- payloads:
+            --   smp_sum  = 64 * SUM(base)
+            --   smp_wsum = SUM(base[j] * (64*(j+1) + 32256))
+            --     (positions p ≡ j mod 16: Σ(p+1) = 64(j+1) + 16·2016)
+            --   zcross   = 64·(sign flips base[j-1]→base[j], j=1..15)
+            --            + 63·(wrap flip base[15]→base[0])
+            WITH ids AS (
+              SELECT unnest(generate_series(0, 255)) AS media_id
+            ), hexmap(c, v) AS (
+              VALUES ('0',0),('1',1),('2',2),('3',3),('4',4),('5',5),('6',6),
+                     ('7',7),('8',8),('9',9),('a',10),('b',11),('c',12),
+                     ('d',13),('e',14),('f',15)
+            ), dig AS (
+              SELECT media_id, sha256('wav-' || media_id) AS h FROM ids
+            ), base AS (
+              SELECT d.media_id, t.j,
+                     (16 * l1.v + l2.v) + 256 * (16 * h1.v + h2.v)
+                     - CASE WHEN 16 * h1.v + h2.v >= 128
+                            THEN 65536 ELSE 0 END AS val
+              FROM dig d
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) t
+              JOIN hexmap l1 ON l1.c = substring(d.h, 4 * t.j + 1, 1)
+              JOIN hexmap l2 ON l2.c = substring(d.h, 4 * t.j + 2, 1)
+              JOIN hexmap h1 ON h1.c = substring(d.h, 4 * t.j + 3, 1)
+              JOIN hexmap h2 ON h2.c = substring(d.h, 4 * t.j + 4, 1)
+            ), agg AS (
+              SELECT media_id, SUM(val) AS sv,
+                     SUM(val * (64 * (j + 1) + 32256)) AS wv
+              FROM base GROUP BY media_id
+            ), zin AS (
+              SELECT c.media_id,
+                     SUM(CASE WHEN (p.val < 0) <> (c.val < 0)
+                              THEN 1 ELSE 0 END) AS z
+              FROM base c
+              JOIN base p ON p.media_id = c.media_id AND p.j = c.j - 1
+              GROUP BY c.media_id
+            ), zwrap AS (
+              SELECT l.media_id,
+                     CASE WHEN (l.val < 0) <> (f.val < 0)
+                          THEN 1 ELSE 0 END AS z
+              FROM base l
+              JOIN base f ON f.media_id = l.media_id AND l.j = 15 AND f.j = 0
+            )
+            SELECT a.media_id, TRUE AS decoded,
+                   CAST(1024 AS BIGINT) AS n_samples,
+                   CAST(16000 AS INT) AS rate,
+                   CAST(64 * a.sv AS BIGINT) AS smp_sum,
+                   CAST(a.wv AS BIGINT) AS smp_wsum,
+                   CAST(64 * zin.z + 63 * zwrap.z AS BIGINT) AS zcross
+            FROM agg a JOIN zin USING (media_id) JOIN zwrap USING (media_id)
+            ORDER BY a.media_id
+        """,
+        "multimodal_video_frames": """
+            -- rebuild the SAMPLED frames' luma planes (frame-f pixels =
+            -- sha256('vid-'||i||'-'||f) digest repeated 32x; sampler takes
+            -- every 2nd of 8 frames) and recompute the per-frame checksums
+            -- the Ray side got by fixed-offset-seeking the y4m streams —
+            -- same digest-x32 algebra as multimodal_featurize:
+            --   px_sum  = 32 * SUM(byte)
+            --   px_wsum = SUM(byte * (32*(bi+1) + 15872))
+            WITH ids AS (
+              SELECT unnest(generate_series(0, 63)) AS media_id
+            ), fr AS (
+              SELECT unnest([0, 2, 4, 6]) AS frame
+            ), hexmap(c, v) AS (
+              VALUES ('0',0),('1',1),('2',2),('3',3),('4',4),('5',5),('6',6),
+                     ('7',7),('8',8),('9',9),('a',10),('b',11),('c',12),
+                     ('d',13),('e',14),('f',15)
+            ), dig AS (
+              SELECT media_id, frame,
+                     sha256('vid-' || media_id || '-' || frame) AS h
+              FROM ids CROSS JOIN fr
+            ), bytes AS (
+              SELECT d.media_id, d.frame, t.bi, 16 * h1.v + h2.v AS byte
+              FROM dig d
+              CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bi) t
+              JOIN hexmap h1 ON h1.c = substring(d.h, 2 * t.bi + 1, 1)
+              JOIN hexmap h2 ON h2.c = substring(d.h, 2 * t.bi + 2, 1)
+            )
+            SELECT media_id, CAST(frame AS INT) AS frame, TRUE AS decoded,
+                   CAST(32 * SUM(byte) AS BIGINT) AS px_sum,
+                   CAST(SUM(byte * (32 * (bi + 1) + 15872)) AS BIGINT)
+                       AS px_wsum
+            FROM bytes GROUP BY media_id, frame ORDER BY media_id, frame
         """,
         "multimodal_histogram": """
             -- rebuild the synthetic payload (sha256('image-'||i) digest

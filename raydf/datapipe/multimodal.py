@@ -5,7 +5,9 @@ Decoding is feature-probed: ``decode_payload`` uses PIL for real image
 mime types when the library is importable (probe at import time — actor
 ``__init__``s inherit it), and falls back to a loud ``NotImplementedError``
 when the codec is genuinely absent (this container ships no codec libs;
-audio/video still need torchaudio/pyav). Fake ``*/x-fake`` payloads decode
+vendored pure-Python codecs cover PNG/JPEG images, RIFF-PCM WAV audio and
+YUV4MPEG2 video — other containers still need torchaudio/pyav and route
+to error rows). Fake ``*/x-fake`` payloads decode
 deterministically so the plumbing — schemas, small-batch actor-pool stages
 (large binary payloads → small ``batch_size`` so batch × concurrency fits
 worker heaps), error routing, output layout — is testable everywhere.
@@ -120,6 +122,73 @@ def synthetic_jpeg_table(n: int) -> pa.Table:
             "width": pa.array([32] * n, pa.int32()),
             "height": pa.array([32] * n, pa.int32()),
             "duration_ms": pa.nulls(n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def synthetic_wav_table(n: int) -> pa.Table:
+    """Deterministic REAL-container audio fixtures: 1024-sample 16 kHz mono
+    16-bit PCM WAVs whose samples are the sha256(``wav-i``) digest read as
+    16 little-endian int16 values, tiled 64× (``sample(p) = base[p % 16]``,
+    ``base[j] = int16le(digest[2j:2j+2])``) — so a SQL oracle rebuilds
+    every sample from the hex digest, while the payload is an actual RIFF
+    stream and decoding exercises chunk walking + PCM validation
+    (:mod:`raydf.datapipe.wav`)."""
+    from raydf.datapipe.wav import encode_wav
+
+    ids = np.arange(n, dtype=np.int64)
+    payloads = []
+    for i in ids:
+        base = np.frombuffer(
+            hashlib.sha256(f"wav-{i}".encode()).digest(), dtype="<i2"
+        ).astype(np.int16)
+        payloads.append(encode_wav(np.tile(base, 64), rate=16000))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["audio/wav"] * n, pa.string()),
+            "width": pa.nulls(n, pa.int32()),
+            "height": pa.nulls(n, pa.int32()),
+            "duration_ms": pa.array([64] * n, pa.int32()),  # 1024 / 16 kHz
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def synthetic_y4m_table(n: int, *, frames: int = 8) -> pa.Table:
+    """Deterministic REAL-container video fixtures: 8-frame 32×32 25 fps
+    YUV4MPEG2 streams whose frame-``f`` luma plane is the
+    sha256(``vid-i-f``) digest repeated 32× (the PNG fixtures' byte
+    contract, per frame), chroma neutral — so a SQL oracle rebuilds every
+    sampled frame's pixels while the payload is an actual y4m stream and
+    sampling exercises header parse + fixed-offset frame seeks
+    (:mod:`raydf.datapipe.y4m`)."""
+    from raydf.datapipe.y4m import encode_y4m
+
+    ids = np.arange(n, dtype=np.int64)
+    payloads = []
+    for i in ids:
+        fr = np.stack(
+            [
+                np.frombuffer(
+                    hashlib.sha256(f"vid-{i}-{f}".encode()).digest() * 32, np.uint8
+                ).reshape(32, 32)
+                for f in range(frames)
+            ]
+        )
+        payloads.append(encode_y4m(fr, fps=(25, 1)))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["video"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["video/x-yuv4mpeg"] * n, pa.string()),
+            "width": pa.array([32] * n, pa.int32()),
+            "height": pa.array([32] * n, pa.int32()),
+            "duration_ms": pa.array([frames * 40] * n, pa.int32()),  # 25 fps
         },
         schema=MEDIA_SCHEMA,
     )
@@ -241,6 +310,128 @@ class MediaHistogrammer:
                 "n": pa.array(np.concatenate(counts), pa.int64()),
             }
         )
+
+
+class AudioFeaturizer:
+    """Actor-pool stage: decode audio → integer waveform signatures plus a
+    windowed-RMS feature vector (the model stand-in).
+
+    The SQL-checkable contract mirrors MediaFeaturizer's px_sum/px_wsum:
+    ``smp_sum`` (Σ samples), position-weighted ``smp_wsum``
+    (Σ s[p]·(p+1)), and ``zcross`` (count of sign flips, p≥1, negatives vs
+    non-negatives) — all exact int64 a SQL engine recomputes from the
+    synthetic digest-derived samples. torchaudio-class decoders would slot
+    into ``__init__`` (once per actor); the vendored RIFF codec keeps the
+    path real in this container."""
+
+    def __init__(self, *, windows: int = 16):
+        self.windows = windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from raydf.datapipe.wav import decode_wav
+
+        n_s, rates, sums, wsums, zx, ok, err, feats = [], [], [], [], [], [], [], []
+        for payload, mime in zip(
+            batch["payload"].to_pylist(), batch["mime"].to_pylist()
+        ):
+            try:
+                if mime == "audio/x-fake":
+                    s = np.frombuffer(payload, dtype="<i2").astype(np.int64)
+                    rate = 16000
+                elif mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+                    frames, rate = decode_wav(payload)
+                    s = (frames if frames.ndim == 1 else frames[:, 0]).astype(
+                        np.int64
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"no codec for {mime}: install torchaudio/soundfile"
+                    )
+                neg = s < 0
+                w = np.array_split(s.astype(np.float64), self.windows)
+                rms = [float(np.sqrt(np.mean(x * x))) if len(x) else 0.0 for x in w]
+                n_s.append(len(s))
+                rates.append(int(rate))
+                sums.append(int(s.sum()))
+                wsums.append(int((s * (np.arange(len(s)) + 1)).sum()))
+                zx.append(int((neg[1:] != neg[:-1]).sum()))
+                ok.append(True)
+                err.append(None)
+                feats.append(rms)
+            except Exception as e:
+                n_s.append(0)
+                rates.append(0)
+                sums.append(0)
+                wsums.append(0)
+                zx.append(0)
+                ok.append(False)
+                err.append(str(e) or type(e).__name__)
+                feats.append([0.0] * self.windows)
+        out = batch.select(["media_id", "kind"])
+        out = out.append_column("decoded", pa.array(ok, pa.bool_()))
+        out = out.append_column("decode_error", pa.array(err, pa.string()))
+        out = out.append_column("n_samples", pa.array(n_s, pa.int64()))
+        out = out.append_column("rate", pa.array(rates, pa.int32()))
+        out = out.append_column("smp_sum", pa.array(sums, pa.int64()))
+        out = out.append_column("smp_wsum", pa.array(wsums, pa.int64()))
+        out = out.append_column("zcross", pa.array(zx, pa.int64()))
+        out = out.append_column(
+            "rms", pa.array(feats, pa.list_(pa.float32(), self.windows))
+        )
+        return out
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: REAL frame sampling — one output row per sampled
+    frame, pixels actually read from the container (supersedes
+    :func:`frame_sample_stub`, which only exploded rows by duration).
+
+    Relies on y4m's fixed-frame-size property: sampling is an O(sampled)
+    byte-offset slice, so a 2-hour stream at every_n=250 reads ~0.4% of
+    the payload. The emitted px_sum / px_wsum are the same exact-int64
+    decode-correctness contract as the image featurizers. A pyav-class
+    demuxer would slot into ``__init__``; error rows, never crashed
+    stages, on unknown containers."""
+
+    def __init__(self, *, every_n: int = 1):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from raydf.datapipe.y4m import sample_frames
+
+        ids, fidx, sums, wsums = [], [], [], []
+        e_ids, e_msg = [], []
+        for mid, payload, mime in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["mime"].to_pylist(),
+        ):
+            try:
+                if mime not in ("video/x-yuv4mpeg", "video/y4m"):
+                    raise NotImplementedError(
+                        f"no demuxer for {mime}: install pyav"
+                    )
+                for i, luma in sample_frames(payload, every=self.every_n):
+                    flat = luma.reshape(-1).astype(np.int64)
+                    ids.append(mid)
+                    fidx.append(i)
+                    sums.append(int(flat.sum()))
+                    wsums.append(int((flat * (np.arange(len(flat)) + 1)).sum()))
+            except Exception as e:
+                e_ids.append(mid)
+                e_msg.append(str(e) or type(e).__name__)
+        n = len(ids)
+        out = pa.table(
+            {
+                "media_id": pa.array(ids + e_ids, pa.int64()),
+                "frame": pa.array(fidx + [-1] * len(e_ids), pa.int32()),
+                "decoded": pa.array([True] * n + [False] * len(e_ids), pa.bool_()),
+                "decode_error": pa.array([None] * n + e_msg, pa.string()),
+                "px_sum": pa.array(sums + [0] * len(e_ids), pa.int64()),
+                "px_wsum": pa.array(wsums + [0] * len(e_ids), pa.int64()),
+            }
+        )
+        return out
 
 
 class ImageResizer:
