@@ -1241,6 +1241,20 @@ def _multimodal_video_frames(sf_dir: str):
     return out.select_columns(["media_id", "frame", "decoded", "px_sum", "px_wsum"])
 
 
+def _lm_score_docs(sf_dir: str):
+    """CCNet/Gopher-style perplexity filtering via a corpus-trained bigram
+    LM, as exact integer micro-scores: lm_score = Σ over token transitions
+    of (1e6·c(w1,w2)) // c(w1·), lm_avg = lm_score // n_pairs — the
+    monotone stand-in for negative log-perplexity that stays int64-exact.
+    No broadcast model, no driver state: the model IS the data (one
+    w1-keyed exchange makes both count and denominator partition-local
+    group sums; raydf/datapipe/lm.py)."""
+    from raydf.datapipe.lm import lm_score
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return lm_score(docs)
+
+
 def _repetition_scores(sf_dir: str):
     """Gopher-style repetition quality signals (duplicate-line fraction,
     top-bigram fraction) as exact integer micro-fractions."""
@@ -1570,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_jpeg_featurize": _multimodal_jpeg_featurize,
         "multimodal_wav_featurize": _multimodal_wav_featurize,
         "multimodal_video_frames": _multimodal_video_frames,
+        "lm_score_docs": _lm_score_docs,
         # relational operator families (SQL-checked)
         "q1_pricing_summary": _q1_pricing_summary,
         "q_top_orders": _q_top_orders,
@@ -2463,6 +2478,40 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY a
         """,
         "simhash_pairs_docs": _simhash_oracle_sql(),
+        "lm_score_docs": """
+            -- corpus-trained bigram LM, floor-scaled conditional
+            -- probabilities: contribution per transition =
+            -- (1e6 * c(w1,w2)) // c(w1-left); token-poor docs score 0
+            WITH tk AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), pr AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, GREATEST(len(t) - 1, 0))) AS i
+              FROM tk
+            ), pairs AS (
+              SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pr
+            ), big AS (
+              SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY 1, 2
+            ), lft AS (
+              SELECT w1, SUM(c) AS cl FROM big GROUP BY 1
+            ), sc AS (
+              SELECT p.doc_id, COUNT(*) AS n_pairs,
+                     SUM((1000000 * b.c) // l.cl) AS s
+              FROM pairs p
+              JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+              JOIN lft l ON l.w1 = p.w1
+              GROUP BY p.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(sc.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(sc.s, 0) AS BIGINT) AS lm_score,
+                   CAST(COALESCE(sc.s, 0)
+                        // GREATEST(COALESCE(sc.n_pairs, 0), 1) AS BIGINT)
+                       AS lm_avg
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
         "repetition_scores": r"""
             WITH l AS (
               SELECT doc_id, unnest(string_split(text, chr(10))) AS line

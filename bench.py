@@ -120,6 +120,12 @@ _BENCH_QUERIES = [
     "pq_codes",
     "bloom_user_filter",
     "q_events_customers_outer",
+    # round-5 families
+    "lm_score_docs",
+    # round-5 media families (vendored real-container codecs)
+    "multimodal_jpeg_featurize",
+    "multimodal_wav_featurize",
+    "multimodal_video_frames",
 ]
 
 
