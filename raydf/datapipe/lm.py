@@ -42,29 +42,45 @@ _WORD = re.compile(r"[a-z0-9]+")
 
 
 def _pair_rows(df: pd.DataFrame, text_col: str, id_col: str) -> pd.DataFrame:
-    """Batch-local kernel → per-(doc, w1, w2) occurrence counts."""
+    """Batch-local kernel → per-(doc, w1, w2) occurrence counts, PLUS one
+    zero-count baseline row per document keyed by a doc-UNIQUE pseudo-w1
+    (``\\x00<doc_id>`` — unmatchable by the [a-z0-9]+ tokenizer, and
+    unique so baselines spread evenly across the w1 exchange instead of
+    funneling a shared sentinel into one hot partition). Baselines keep
+    token-poor docs (< 2 tokens) in the output without re-scanning the
+    documents table for its ids."""
     toks = df[text_col].str.lower().str.findall(_WORD)
     counts = toks.map(len).to_numpy()
-    ids = np.repeat(df[id_col].to_numpy(np.int64), counts)
+    doc_ids = df[id_col].to_numpy(np.int64)
+    ids = np.repeat(doc_ids, counts)
     flat = toks.explode().dropna().to_numpy(dtype=object)
-    if len(flat) < 2:
-        return pd.DataFrame(
+    if len(flat) >= 2:
+        same = ids[:-1] == ids[1:]
+        pairs = (
+            pd.DataFrame(
+                {"doc_id": ids[:-1][same], "w1": flat[:-1][same],
+                 "w2": flat[1:][same]}
+            )
+            .groupby(["doc_id", "w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="n_occ")
+        )
+    else:
+        pairs = pd.DataFrame(
             {"doc_id": np.empty(0, np.int64),
              "w1": pd.Series([], dtype=object),
              "w2": pd.Series([], dtype=object),
-             "n_occ": np.empty(0, np.int64)}
+             "n_occ": []}
         )
-    same = ids[:-1] == ids[1:]
-    pairs = (
-        pd.DataFrame(
-            {"doc_id": ids[:-1][same], "w1": flat[:-1][same], "w2": flat[1:][same]}
-        )
-        .groupby(["doc_id", "w1", "w2"], sort=False)
-        .size()
-        .reset_index(name="n_occ")
+    base = pd.DataFrame(
+        {"doc_id": doc_ids,
+         "w1": np.char.add("\x00", doc_ids.astype(str)).astype(object),
+         "w2": np.full(len(doc_ids), "", dtype=object),
+         "n_occ": np.zeros(len(doc_ids), np.int64)}
     )
-    pairs["n_occ"] = pairs["n_occ"].astype(np.int64)
-    return pairs
+    out = pd.concat([pairs, base], ignore_index=True)
+    out["n_occ"] = out["n_occ"].astype(np.int64)
+    return out
 
 
 def lm_score(docs, *, text_col: str = "text", id_col: str = "doc_id",
@@ -80,7 +96,8 @@ def lm_score(docs, *, text_col: str = "text", id_col: str = "doc_id",
     def score_by_w1(part: pd.DataFrame) -> pd.DataFrame:
         """All rows of a given w1 are here: c(w1·) = Σ n_occ over the w1
         group, c(w1, w2) = Σ n_occ over the (w1, w2) group; every
-        occurrence of that pair contributes (scale·c)//cleft."""
+        occurrence of that pair contributes (scale·c)//cleft. Baseline
+        rows (n_occ = 0, doc-unique pseudo-w1) have cleft = 0 and score 0."""
         n_occ = part["n_occ"].to_numpy(np.int64)
         cleft = (
             part.groupby("w1", sort=False)["n_occ"].transform("sum")
@@ -90,26 +107,15 @@ def lm_score(docs, *, text_col: str = "text", id_col: str = "doc_id",
             part.groupby(["w1", "w2"], sort=False)["n_occ"].transform("sum")
             .to_numpy(np.int64)
         )
+        contrib = n_occ * ((scale * c) // np.maximum(cleft, 1))
         return pd.DataFrame(
             {"doc_id": part["doc_id"].to_numpy(np.int64),
-             "n_pairs": n_occ, "part_score": n_occ * ((scale * c) // cleft)}
+             "n_pairs": n_occ, "part_score": contrib}
         )
 
     partials = partitioned_group_map(
         pairs, ["w1"], score_by_w1, num_partitions=num_partitions
     )
-
-    # zero baselines ride the doc-keyed exchange directly (NOT the w1 one:
-    # a shared sentinel key would funnel one row per document into a
-    # single hot partition) so < 2-token docs still emit n_pairs = 0 rows
-    def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": df[id_col].to_numpy(np.int64),
-             "n_pairs": np.zeros(len(df), np.int64),
-             "part_score": np.zeros(len(df), np.int64)}
-        )
-
-    partials = partials.union(docs.map_batches(zero_rows, batch_format="pandas"))
 
     # block-local pre-agg → one doc-keyed exchange → final per-doc sums
     def combine(df: pd.DataFrame) -> pd.DataFrame:
