@@ -4,6 +4,7 @@ the coarse-partitioned distinct/group-map helpers."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray
 import ray.data as rd
 
@@ -377,3 +378,69 @@ def test_distinct_write_matches_distinct_exchange(tmp_path, ray_session):
         for f in g.glob(os.path.join(staged_dir, "*.parquet"))
     )
     assert not os.path.exists(staged_dir + "_staging")
+
+
+def _bloom_fixture():
+    """A(x,y) edges funnel into 5 hub nodes; B(y,z) edges mostly DON'T
+    start at a hub — the regime the bloom semi-join targets (big scan,
+    few true matches)."""
+    A, B = 71, 72
+    rows = []
+    hubs = list(range(1000, 1005))
+    for i in range(150):
+        rows.append((2000 + i, A, hubs[i % 5]))
+    for h in hubs:
+        rows.append((h, B, 5000 + h))
+    for i in range(600):
+        rows.append((3000 + i, B, 4000 + i))  # subj never a hub
+    expected = sorted(
+        (2000 + i, hubs[i % 5], 5000 + hubs[i % 5]) for i in range(150)
+    )
+    return A, B, rows, expected
+
+
+@pytest.mark.parametrize("bc_limit", [3, 100])
+def test_bloom_semijoin_both_arms_match_bruteforce(ray_session, monkeypatch, bc_limit):
+    """Force the bloom semi-join branch (accumulated side above the
+    broadcast limit, single join key) and check BOTH post-filter arms —
+    bc_limit=100: survivors (~155) > A-matches? no: survivors ≤ 100+FP
+    is false, so 155 rows take the native-join arm; bc_limit=3: also
+    native arm; and with the B-noise removed the broadcast arm — against
+    a pandas brute-force join. Bloom FPs may pass the filter but never
+    the exact join, so outputs must be identical."""
+    from raydf import match as M
+
+    monkeypatch.setattr(M, "BROADCAST_BINDINGS_LIMIT", bc_limit)
+    A, B, rows, expected = _bloom_fixture()
+    src = M.DatasetSource(rd.from_arrow(_mk_triples(rows)).materialize())
+    rule = R.rule(
+        3,
+        [R.pat(R.v(0), IntC(A), R.v(1)), R.pat(R.v(1), IntC(B), R.v(2))],
+        [R.triple_st(R.v(0), IntC(B), R.v(2))],
+    )
+    b = M.rule_bindings(rule, src, num_partitions=4)
+    got = sorted(map(tuple, b.to_pandas()[["v0", "v1", "v2"]].values.tolist()))
+    assert got == expected
+
+
+def test_bloom_semijoin_disabled_matches_enabled(ray_session, monkeypatch):
+    """RAYDF_BLOOM_JOIN_LIMIT=0 (pure native-join path) and the bloom
+    path must produce identical bindings on the same fixture."""
+    from raydf import match as M
+
+    A, B, rows, expected = _bloom_fixture()
+    src = M.DatasetSource(rd.from_arrow(_mk_triples(rows)).materialize())
+    rule = R.rule(
+        3,
+        [R.pat(R.v(0), IntC(A), R.v(1)), R.pat(R.v(1), IntC(B), R.v(2))],
+        [R.triple_st(R.v(0), IntC(B), R.v(2))],
+    )
+    outs = []
+    for bloom_limit in (0, 20_000_000):
+        monkeypatch.setattr(M, "BLOOM_JOIN_LIMIT", bloom_limit)
+        monkeypatch.setattr(M, "BROADCAST_BINDINGS_LIMIT", 3)
+        b = M.rule_bindings(rule, src, num_partitions=4)
+        outs.append(
+            sorted(map(tuple, b.to_pandas()[["v0", "v1", "v2"]].values.tolist()))
+        )
+    assert outs[0] == outs[1] == expected
