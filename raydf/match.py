@@ -40,13 +40,36 @@ from raydf.rules import ConstTerm, Rule, SignedPattern, Var
 
 BROADCAST_BINDINGS_LIMIT = 500_000
 # Single-key big-big joins whose accumulated side is bounded by ≤ this many
-# rows take a Bloom semi-join reduction first: bloom the accumulated side's
-# key (~2 bytes/key), filter the other side INSIDE its lazy scan, and join
-# only the survivors — the classic semi-join cut for the fixpoint's late
-# rounds, where Δ is small but the full-store side re-ships ~everything
-# through the native join's exchange to match almost nothing. 0 disables.
-BLOOM_JOIN_LIMIT = int(os.environ.get("RAYDF_BLOOM_JOIN_LIMIT", 20_000_000))
+# rows take a semi-join reduction first: collect the accumulated side's
+# DISTINCT keys when few (exact filter) or bloom them when many, filter the
+# other side INSIDE its lazy scan, and join only the survivors — the
+# classic semi-join cut for the fixpoint's late rounds, where Δ is small
+# but the full-store side re-ships ~everything through the native join's
+# exchange to match almost nothing. 0 disables (plain native join).
+BLOOM_JOIN_LIMIT = int(os.environ.get("RAYDF_BLOOM_JOIN_LIMIT", 200_000_000))
+# Exact distinct-key sets are collected up to this many values (~16 MB of
+# int64 broadcast); beyond it the Bloom filter takes over.
+DISTINCT_SET_CAP = int(os.environ.get("RAYDF_DISTINCT_SET_CAP", 2_000_000))
 POSITIONS = ("subj", "pred", "obj")
+
+
+def _distinct_native_min(parts: int) -> int:
+    """Minimum LEFT-side key cardinality for Ray's native hash join.
+
+    Ray 2.49's hash shuffle seeds aggregator partitions' schemas via empty
+    shards sent by the FIRST submitted shuffle task only
+    (hash_shuffle.py:255,584) — and a task whose input block is empty
+    returns before sending anything, silently losing the broadcast. A key
+    set too small to land real rows in every partition (measured: the 24
+    repo ids of the 12M fixture's round-1 `contains` Δ cover only 12 of
+    16 partitions under pyarrow-scalar tuple hashing) then leaves
+    schema-less empty partitions that crash pyarrow's join
+    (`No match ... FieldRef on left side`) — nondeterministically,
+    because whether the broadcast survives is a scheduling race. Below
+    this floor the cascade routes to partitioned_merge_join, whose own
+    exchange is empty-partition-safe; at ≥64 keys/partition the chance of
+    an unseeded partition is ≤ P·(1-1/P)^(64P) ≈ e^-60 — negligible."""
+    return max(1024, 64 * parts)
 
 
 # ------------------------------------------------------------ triple sources
@@ -243,6 +266,42 @@ def _join_partitions(num_partitions: int) -> int:
 # ------------------------------------------------------------- join cascade
 
 
+def _collect_distinct_capped(ds_, key: str, cap: int):
+    """Sorted np.int64 array of ``ds_[key]``'s distinct values, or None
+    when they exceed ``cap`` (bail early — per-block uniques stream to the
+    driver, so a high-cardinality side aborts after ~4×cap rows)."""
+    u = ds_.map_batches(
+        lambda t: pa.table({key: pc.unique(t[key])}), batch_format="pyarrow"
+    )
+    parts, total = [], 0
+    for b in u.iter_batches(batch_format="pyarrow"):
+        arr = b[key].to_numpy(zero_copy_only=False)
+        parts.append(arr)
+        total += len(arr)
+        if total > 4 * cap:
+            return None
+    vals = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    ).astype(np.int64)
+    return vals if len(vals) <= cap else None
+
+
+def _exact_filter_side(other, key: str, sorted_keys: "np.ndarray"):
+    """Semi-join reduce with an EXACT broadcast key set (no false
+    positives): keep only ``other`` rows whose ``key`` appears in
+    ``sorted_keys``. The filter fuses into ``other``'s lazy scan."""
+    import ray
+
+    ref = ray.put(sorted_keys)
+
+    def flt(t: pa.Table) -> pa.Table:
+        dk = ray.get(ref)
+        v = t[key].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(v, dk)))
+
+    return other.map_batches(flt, batch_format="pyarrow")
+
+
 def _bloom_filter_side(keys_ds, other, key: str, n_keys: int):
     """Semi-join reduce: keep only ``other`` rows whose ``key`` MAY appear
     in ``keys_ds[key]`` (Bloom, ≈1.5% FP, zero FN — so an inner join on
@@ -337,18 +396,18 @@ def find_bindings(items: list, *, num_partitions: int = 32):
                     and bindings_ub is not None
                     and bindings_ub <= BLOOM_JOIN_LIMIT
                 ):
-                    # Bloom semi-join reduction (the fixpoint-scaling
-                    # residual: per-round native joins re-exchange the
-                    # whole accumulated store against a shrinking Δ —
-                    # MANIFEST per-round data at 1M files showed the rule
-                    # joins speeding up only 1.42× from 4→16 CPUs while
-                    # every scan stage hit 4-5×). Materialize the bounded
-                    # accumulated side once, bloom its key, and filter the
-                    # other side inside its lazy scan; survivors are the
-                    # true matches +≈1.5% FPs, so late rounds collapse to
-                    # a broadcast join and big rounds native-join a far
-                    # smaller input. Exactness is untouched — the bloom
-                    # only discards rows the inner join would drop anyway.
+                    # Semi-join reduction (the fixpoint-scaling residual:
+                    # per-round native joins re-exchange the whole
+                    # accumulated store against a shrinking Δ — MANIFEST
+                    # per-round data at 1M files showed the rule joins
+                    # speeding up only 1.42× from 4→16 CPUs while every
+                    # scan stage hit 4-5×). Materialize the bounded
+                    # accumulated side once; collect its distinct keys if
+                    # few (EXACT filter, zero FPs) else bloom them, and
+                    # filter the other side inside its lazy scan. Late
+                    # rounds collapse to a broadcast join; big rounds join
+                    # a far smaller input. Exactness is untouched — the
+                    # filters only discard rows the inner join would drop.
                     bindings = bindings.materialize()
                     nb = bindings.count()
                     if nb == 0:
@@ -358,9 +417,18 @@ def find_bindings(items: list, *, num_partitions: int = 32):
                         small = bindings.to_pandas()
                         bindings = joins.broadcast_join(matched, small, on=keys)
                     else:
-                        matched_f = _bloom_filter_side(
-                            bindings, matched, keys[0], nb
-                        ).materialize()
+                        parts_n = _join_partitions(num_partitions)
+                        dk = _collect_distinct_capped(
+                            bindings, keys[0], DISTINCT_SET_CAP
+                        )
+                        if dk is not None:
+                            matched_f = _exact_filter_side(
+                                matched, keys[0], dk
+                            ).materialize()
+                        else:
+                            matched_f = _bloom_filter_side(
+                                bindings, matched, keys[0], nb
+                            ).materialize()
                         nm = matched_f.count()
                         if nm == 0:
                             return None
@@ -368,10 +436,28 @@ def find_bindings(items: list, *, num_partitions: int = 32):
                             bindings = joins.broadcast_join(
                                 bindings, matched_f.to_pandas(), on=keys
                             )
+                        elif dk is not None and len(dk) < _distinct_native_min(
+                            parts_n
+                        ):
+                            # low-cardinality key: Ray's native join can
+                            # leave aggregator partitions schema-less
+                            # (see _distinct_native_min) AND skews; the
+                            # coarse partitioned merge join is
+                            # empty-partition-safe and merges each of the
+                            # few key groups vectorized in one task
+                            bindings = joins.partitioned_merge_join(
+                                bindings, matched_f, on=keys,
+                                left_cols=[f"v{i}" for i in sorted(bound)],
+                                right_cols=[f"v{i}" for i in sorted(pvars)],
+                                num_partitions=parts_n,
+                            )
                         else:
+                            # high-cardinality key (≥ the native floor by
+                            # construction: dk is None ⇒ > DISTINCT_SET_CAP
+                            # distinct) — every partition gets real rows
                             bindings = joins.hash_join(
                                 bindings, matched_f, on=keys,
-                                num_partitions=_join_partitions(num_partitions),
+                                num_partitions=parts_n,
                             )
                 else:
                     if (not bindings_checked and _empty(bindings)) or _empty(matched):
@@ -396,6 +482,12 @@ def find_bindings(items: list, *, num_partitions: int = 32):
                     # join's aggregator actors reserve 0.125 CPU each, and
                     # 16 partitions' worth (2 CPUs) deadlocks a 4-CPU
                     # cluster when a previous join's actors linger.
+                    # Cardinality caveat: this branch runs only above
+                    # BLOOM_JOIN_LIMIT (default 200M rows) — a side that
+                    # big with fewer distinct keys than the native floor
+                    # (_distinct_native_min) could still hit the unseeded-
+                    # partition crash; lower RAYDF_BLOOM_JOIN_LIMIT=0 is
+                    # NOT the fix for that, raising it is.
                     bindings = joins.hash_join(
                         bindings, matched, on=keys,
                         num_partitions=_join_partitions(num_partitions),
@@ -412,8 +504,14 @@ def find_bindings(items: list, *, num_partitions: int = 32):
                     if (not bindings_checked and _empty(bindings)) or _empty(matched):
                         return None
                     left = joins.cross_join_key(bindings)
-                    bindings = joins.hash_join(
+                    # single-valued key __x: Ray's native join would put
+                    # every row in ONE partition and leave the rest
+                    # schema-less (see _distinct_native_min) — the merge
+                    # join's exchange is empty-partition-safe
+                    bindings = joins.partitioned_merge_join(
                         left, right, on=["__x"],
+                        left_cols=[f"v{i}" for i in sorted(bound)] + ["__x"],
+                        right_cols=[f"v{i}" for i in sorted(pvars)] + ["__x"],
                         num_partitions=_join_partitions(num_partitions),
                     ).drop_columns(["__x"])
             bindings_ub = None  # join output size is unbounded a priori

@@ -399,48 +399,82 @@ def _bloom_fixture():
     return A, B, rows, expected
 
 
-@pytest.mark.parametrize("bc_limit", [3, 100])
-def test_bloom_semijoin_both_arms_match_bruteforce(ray_session, monkeypatch, bc_limit):
-    """Force the bloom semi-join branch (accumulated side above the
-    broadcast limit, single join key) and check BOTH post-filter arms —
-    bc_limit=100: survivors (~155) > A-matches? no: survivors ≤ 100+FP
-    is false, so 155 rows take the native-join arm; bc_limit=3: also
-    native arm; and with the B-noise removed the broadcast arm — against
-    a pandas brute-force join. Bloom FPs may pass the filter but never
-    the exact join, so outputs must be identical."""
-    from raydf import match as M
-
-    monkeypatch.setattr(M, "BROADCAST_BINDINGS_LIMIT", bc_limit)
-    A, B, rows, expected = _bloom_fixture()
-    src = M.DatasetSource(rd.from_arrow(_mk_triples(rows)).materialize())
-    rule = R.rule(
+def _bloom_rule(A, B):
+    return R.rule(
         3,
         [R.pat(R.v(0), IntC(A), R.v(1)), R.pat(R.v(1), IntC(B), R.v(2))],
         [R.triple_st(R.v(0), IntC(B), R.v(2))],
     )
-    b = M.rule_bindings(rule, src, num_partitions=4)
+
+
+@pytest.mark.parametrize(
+    "bc_limit,dk_cap",
+    [
+        (3, 2_000_000),   # exact-distinct filter → low-cardinality pmj arm
+        (100, 2_000_000), # exact-distinct filter → survivors broadcast arm
+        (3, 2),           # distinct cap exceeded → bloom filter → pmj? no:
+                          # dk None ⇒ native arm (cardinality unknowable)
+        (100, 2),         # bloom filter → survivors broadcast arm
+    ],
+)
+def test_semijoin_dispatch_arms_match_bruteforce(
+    ray_session, monkeypatch, bc_limit, dk_cap
+):
+    """Force the semi-join branch (accumulated side above the broadcast
+    limit, single join key) through each post-filter arm — exact-set vs
+    bloom reduction (dk_cap), then broadcast vs merge/native join
+    (bc_limit) — against a brute-force expected join. Filter false
+    positives (bloom) never survive the exact join, and the 5-distinct
+    hub key must route AWAY from Ray's native join (the unseeded-
+    partition crash class) when the exact set is known."""
+    from raydf import match as M
+
+    monkeypatch.setattr(M, "BROADCAST_BINDINGS_LIMIT", bc_limit)
+    monkeypatch.setattr(M, "DISTINCT_SET_CAP", dk_cap)
+    A, B, rows, expected = _bloom_fixture()
+    src = M.DatasetSource(rd.from_arrow(_mk_triples(rows)).materialize())
+    b = M.rule_bindings(_bloom_rule(A, B), src, num_partitions=4)
     got = sorted(map(tuple, b.to_pandas()[["v0", "v1", "v2"]].values.tolist()))
     assert got == expected
 
 
 def test_bloom_semijoin_disabled_matches_enabled(ray_session, monkeypatch):
-    """RAYDF_BLOOM_JOIN_LIMIT=0 (pure native-join path) and the bloom
+    """RAYDF_BLOOM_JOIN_LIMIT=0 (pure native-join path) and the semi-join
     path must produce identical bindings on the same fixture."""
     from raydf import match as M
 
     A, B, rows, expected = _bloom_fixture()
     src = M.DatasetSource(rd.from_arrow(_mk_triples(rows)).materialize())
-    rule = R.rule(
-        3,
-        [R.pat(R.v(0), IntC(A), R.v(1)), R.pat(R.v(1), IntC(B), R.v(2))],
-        [R.triple_st(R.v(0), IntC(B), R.v(2))],
-    )
     outs = []
     for bloom_limit in (0, 20_000_000):
         monkeypatch.setattr(M, "BLOOM_JOIN_LIMIT", bloom_limit)
         monkeypatch.setattr(M, "BROADCAST_BINDINGS_LIMIT", 3)
-        b = M.rule_bindings(rule, src, num_partitions=4)
+        b = M.rule_bindings(_bloom_rule(A, B), src, num_partitions=4)
         outs.append(
             sorted(map(tuple, b.to_pandas()[["v0", "v1", "v2"]].values.tolist()))
         )
     assert outs[0] == outs[1] == expected
+
+
+def test_low_cardinality_key_routes_off_native_join(ray_session, monkeypatch):
+    """The crash regression pin: a big-big single-key join whose left key
+    has FEW distinct values must NOT reach joins.hash_join — Ray 2.49's
+    hash shuffle seeds partition schemas via empty shards from the first
+    submitted task only, and an empty first block silently loses that
+    broadcast, leaving unseeded partitions that crash pyarrow's join
+    (reproduced at 12M files: 24 distinct repo ids covered 12/16
+    partitions; resume + fresh runs crashed nondeterministically)."""
+    from raydf import joins as J
+    from raydf import match as M
+
+    def boom(*a, **k):
+        raise AssertionError("native hash_join reached for a "
+                             "low-cardinality key")
+
+    monkeypatch.setattr(M, "BROADCAST_BINDINGS_LIMIT", 3)
+    monkeypatch.setattr(M.joins, "hash_join", boom)
+    A, B, rows, expected = _bloom_fixture()
+    src = M.DatasetSource(rd.from_arrow(_mk_triples(rows)).materialize())
+    b = M.rule_bindings(_bloom_rule(A, B), src, num_partitions=4)
+    got = sorted(map(tuple, b.to_pandas()[["v0", "v1", "v2"]].values.tolist()))
+    assert got == expected
